@@ -1,0 +1,233 @@
+"""Torch state_dict -> (params, stats) pytree converter.
+
+The reference ships `scripts/convert_weights.py` to map upstream yolov9
+checkpoints into its own naming; here we map the *reference's* naming
+(torch, NCHW/OIHW) into this framework's pytrees (NHWC/HWIO). Key layout of
+the reference (reference: src/yolo/blocks/*.py, src/yolo/heads/detect.py):
+
+    layers.<name>.conv.weight / bn.{weight,bias,running_mean,running_var}
+    layers.<name>.block1.0.* (RepNCSP) / block1.1.* (Conv) ...
+    layers.<name>.box_convs.<i>.{0,1}.* / .2.{weight,bias}
+
+Transforms: conv kernels OIHW -> HWIO; BN weight->scale, bias->bias,
+running_mean->mean, running_var->var. The DFL fixed-weight conv is derived,
+not loaded.
+
+Works on a plain {key: numpy array} dict, so torch is only needed by the
+optional `.pt` loader.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+from yolo_re_tpu.models import blocks as B
+from yolo_re_tpu.models.builder import Plan
+from yolo_re_tpu.models.heads import DetectDFL, DualDetectDFL
+
+Array = np.ndarray
+SD = dict[str, Array]
+
+
+def _t(sd: SD, key: str) -> Array:
+    """Fetch a conv kernel and convert OIHW -> HWIO."""
+    return np.ascontiguousarray(np.transpose(sd[key], (2, 3, 1, 0))).astype(np.float32)
+
+
+def _v(sd: SD, key: str) -> Array:
+    return np.asarray(sd[key]).astype(np.float32)
+
+
+def _conv(sd: SD, p: str):
+    params = {"w": _t(sd, p + "conv.weight"),
+              "scale": _v(sd, p + "bn.weight"),
+              "bias": _v(sd, p + "bn.bias")}
+    stats = {"mean": _v(sd, p + "bn.running_mean"),
+             "var": _v(sd, p + "bn.running_var")}
+    return params, stats
+
+
+def _repconv(sd: SD, p: str):
+    p1, s1 = _conv(sd, p + "conv1.")
+    p2, s2 = _conv(sd, p + "conv2.")
+    return {"conv1": p1, "conv2": p2}, {"conv1": s1, "conv2": s2}
+
+
+def _bottleneck(sd: SD, p: str):
+    p1, s1 = _repconv(sd, p + "conv1.")
+    p2, s2 = _conv(sd, p + "conv2.")
+    return {"conv1": p1, "conv2": p2}, {"conv1": s1, "conv2": s2}
+
+
+def _repncsp(sd: SD, p: str, num_repeats: int):
+    params, stats = {}, {}
+    for name in ("conv1", "conv2", "conv3"):
+        params[name], stats[name] = _conv(sd, f"{p}{name}.")
+    params["bottlenecks"], stats["bottlenecks"] = [], []
+    for i in range(num_repeats):
+        bp, bs = _bottleneck(sd, f"{p}bottlenecks.{i}.")
+        params["bottlenecks"].append(bp)
+        stats["bottlenecks"].append(bs)
+    return params, stats
+
+
+def _elan(sd: SD, p: str, cfg: B.RepNCSPELAN4Config):
+    params, stats = {}, {}
+    params["conv_in"], stats["conv_in"] = _conv(sd, p + "conv_in.")
+    params["csp1"], stats["csp1"] = _repncsp(sd, p + "block1.0.", cfg.num_repeats)
+    params["conv1"], stats["conv1"] = _conv(sd, p + "block1.1.")
+    params["csp2"], stats["csp2"] = _repncsp(sd, p + "block2.0.", cfg.num_repeats)
+    params["conv2"], stats["conv2"] = _conv(sd, p + "block2.1.")
+    params["conv_out"], stats["conv_out"] = _conv(sd, p + "conv_out.")
+    return params, stats
+
+
+def _sppelan(sd: SD, p: str):
+    pi, si = _conv(sd, p + "conv_in.")
+    po, so = _conv(sd, p + "conv_out.")
+    return {"conv_in": pi, "conv_out": po}, {"conv_in": si, "conv_out": so}
+
+
+def _adown(sd: SD, p: str):
+    ps, ss = _conv(sd, p + "conv_stride.")
+    pp, sp = _conv(sd, p + "conv_pool.")
+    return ({"conv_stride": ps, "conv_pool": pp},
+            {"conv_stride": ss, "conv_pool": sp})
+
+
+def _cblinear(sd: SD, p: str):
+    return ({"w": _t(sd, p + "conv.weight"), "b": _v(sd, p + "conv.bias")}, {})
+
+
+def _tower(sd: SD, box_prefix: str, cls_prefix: str):
+    params = {"box": [], "cls": []}
+    stats = {"box": [], "cls": []}
+    for prefix, kind in ((box_prefix, "box"), (cls_prefix, "cls")):
+        for j in (0, 1):
+            cp, cs = _conv(sd, f"{prefix}{j}.")
+            params[kind].append(cp)
+            stats[kind].append(cs)
+        params[kind].append({"w": _t(sd, f"{prefix}2.weight"),
+                             "b": _v(sd, f"{prefix}2.bias")})
+        stats[kind].append({})
+    return params, stats
+
+
+def _detect(sd: SD, p: str, num_levels: int):
+    towers, tstats = [], []
+    for i in range(num_levels):
+        tp, ts = _tower(sd, f"{p}box_convs.{i}.", f"{p}cls_convs.{i}.")
+        towers.append(tp)
+        tstats.append(ts)
+    return {"towers": towers}, {"towers": tstats}
+
+
+def _dual_detect(sd: SD, p: str, num_levels: int):
+    params = {"aux": [], "main": []}
+    stats = {"aux": [], "main": []}
+    for i in range(num_levels):
+        tp, ts = _tower(sd, f"{p}aux_box_convs.{i}.", f"{p}aux_cls_convs.{i}.")
+        params["aux"].append(tp)
+        stats["aux"].append(ts)
+        tp, ts = _tower(sd, f"{p}main_box_convs.{i}.", f"{p}main_cls_convs.{i}.")
+        params["main"].append(tp)
+        stats["main"].append(ts)
+    return params, stats
+
+
+def convert_state_dict(plan: Plan, sd: SD) -> tuple[dict, dict]:
+    """Convert a reference-format torch state_dict into (params, stats)."""
+    params, stats = {}, {}
+    for step in plan.steps:
+        p = f"layers.{step.name}."
+        blk, cfg = step.block, step.cfg
+        if blk is B.Conv:
+            params[step.name], stats[step.name] = _conv(sd, p)
+        elif blk is B.RepConv:
+            params[step.name], stats[step.name] = _repconv(sd, p)
+        elif blk is B.RepNCSPELAN4:
+            params[step.name], stats[step.name] = _elan(sd, p, cfg)
+        elif blk is B.SPPELAN:
+            params[step.name], stats[step.name] = _sppelan(sd, p)
+        elif blk is B.ADown:
+            params[step.name], stats[step.name] = _adown(sd, p)
+        elif blk is B.CBLinear:
+            params[step.name], stats[step.name] = _cblinear(sd, p)
+        elif blk is DetectDFL:
+            params[step.name], stats[step.name] = _detect(
+                sd, p, len(cfg.in_channels))
+        elif blk is DualDetectDFL:
+            params[step.name], stats[step.name] = _dual_detect(
+                sd, p, cfg.num_levels)
+        else:  # parameter-free: Concat, Silence, Upsample, CBFuse
+            params[step.name], stats[step.name] = {}, {}
+    return params, stats
+
+
+def load_torch_checkpoint(path: str) -> SD:
+    """Load a .pt state_dict (or full checkpoint with 'model' key) to numpy."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and not hasattr(obj["model"], "keys"):
+        obj = obj["model"].state_dict()
+    elif isinstance(obj, dict) and "model" in obj:
+        obj = obj["model"]
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()
+            if hasattr(v, "detach")}
+
+
+# ---------------------------------------------------------------------------
+# Pytree (de)serialization: flat npz with '/'-joined keys
+# ---------------------------------------------------------------------------
+
+def flatten_tree(tree: Any, prefix: str = "") -> dict[str, Array]:
+    out: dict[str, Array] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: dict[str, Array]) -> Any:
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def save_params(path: str, params: dict, stats: dict) -> None:
+    flat = {f"params/{k}": v for k, v in flatten_tree(params).items()}
+    flat.update({f"stats/{k}": v for k, v in flatten_tree(stats).items()})
+    np.savez(path, **flat)
+
+
+def load_params(path: str) -> tuple[dict, dict]:
+    data = np.load(path)
+    params_flat, stats_flat = {}, {}
+    for k in data.files:
+        if k.startswith("params/"):
+            params_flat[k[len("params/"):]] = data[k]
+        elif k.startswith("stats/"):
+            stats_flat[k[len("stats/"):]] = data[k]
+    return unflatten_tree(params_flat), unflatten_tree(stats_flat)

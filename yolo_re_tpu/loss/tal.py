@@ -1,0 +1,225 @@
+"""Task-Aligned Loss — fixed-shape, jit-compiled training objective.
+
+Reference: src/yolo/loss/tal.py + src/yolo/loss/bbox.py. The torch version
+uses `masked_select` (dynamic shapes) and python-loop target preprocessing
+(tal.py:287-313); here everything is a masked reduction over padded
+(B, max_boxes, ...) targets so the whole loss traces into the train step.
+
+Target contract: the data pipeline supplies `targets` of shape (B, M, 5) as
+(class, x, y, w, h) with xywh normalized to [0, 1]; padding rows are all
+zero (w == h == 0 marks invalid — the same validity rule the reference's
+`mask_gt = gt_bboxes.sum(2) > 0` applies).
+
+Dual-head: aux branch weighted 0.25 (reference: tal.py:252-266), with the
+canonical {"aux": ..., "main": ...} contract fixing SURVEY §2.4.1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from yolo_re_tpu.loss.assigner import TaskAlignedAssigner
+from yolo_re_tpu.ops.boxes import (
+    bbox2dist,
+    bbox_iou,
+    dist2bbox,
+    make_anchors_np,
+    xywh2xyxy,
+)
+
+
+@dataclass
+class LossConfig:
+    """Reference: src/yolo/loss/tal.py:15-26."""
+
+    box_gain: float = 7.5
+    cls_gain: float = 0.5
+    dfl_gain: float = 1.5
+    tal_topk: int = 10
+    tal_alpha: float = 0.5
+    tal_beta: float = 6.0
+    cls_pw: float = 1.0
+
+
+def bce_with_logits(logits, targets, pos_weight: float = 1.0):
+    """Elementwise BCE-with-logits, numerically stable (== torch's)."""
+    log_sig = -jax.nn.softplus(-logits)
+    log_one_minus = -jax.nn.softplus(logits)
+    return -(pos_weight * targets * log_sig + (1.0 - targets) * log_one_minus)
+
+
+def df_loss(pred_dist, target, reg_max_minus1: int):
+    """Distribution Focal Loss (reference: src/yolo/loss/bbox.py:102-124).
+
+    pred_dist (..., 4, reg_max) logits; target (..., 4) continuous in
+    [0, reg_max-1]. CE against the two nearest bins, linearly weighted;
+    mean over the 4 coords.
+    """
+    tl = target.astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(jnp.float32) - target
+    wr = 1.0 - wl
+    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    nbins = reg_max_minus1 + 1
+    loss_l = -jnp.take_along_axis(logp, jnp.clip(tl, 0, nbins - 1)[..., None],
+                                  axis=-1)[..., 0] * wl
+    loss_r = -jnp.take_along_axis(logp, jnp.clip(tr, 0, nbins - 1)[..., None],
+                                  axis=-1)[..., 0] * wr
+    return (loss_l + loss_r).mean(axis=-1)
+
+
+class TALoss:
+    """CIoU + BCE + DFL with task-aligned assignment.
+
+    __call__(preds, targets) -> (total_loss, loss_items[box, cls, dfl]).
+    preds: list of per-level NHWC raw maps (single head) or
+           {"aux": [...], "main": [...]} (dual head).
+    """
+
+    def __init__(self, num_classes: int, reg_max: int, strides,
+                 config: LossConfig | None = None):
+        self.num_classes = num_classes
+        self.reg_max = reg_max
+        self.strides = [float(s) for s in strides]
+        self.config = config or LossConfig()
+        self.no = reg_max * 4 + num_classes
+        self.assigner = TaskAlignedAssigner(
+            topk=self.config.tal_topk, num_classes=num_classes,
+            alpha=self.config.tal_alpha, beta=self.config.tal_beta)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _flatten(self, feats):
+        """Per-level NHWC -> (B, A, 4*reg_max) distri + (B, A, nc) scores."""
+        b = feats[0].shape[0]
+        flat = jnp.concatenate(
+            [x.reshape(b, -1, self.no).astype(jnp.float32) for x in feats],
+            axis=1)
+        return flat[..., :self.reg_max * 4], flat[..., self.reg_max * 4:]
+
+    def _anchors(self, feats):
+        shapes = [(x.shape[1], x.shape[2]) for x in feats]
+        anchors, stride_col = make_anchors_np(shapes, self.strides)
+        return jnp.asarray(anchors), jnp.asarray(stride_col)
+
+    def _decode(self, anchor_points, pred_dist):
+        """(B, A, 4*reg_max) logits -> (B, A, 4) xyxy in grid units
+        (reference: tal.py:315-320)."""
+        b, a, c = pred_dist.shape
+        p = jax.nn.softmax(pred_dist.reshape(b, a, 4, c // 4), axis=-1)
+        proj = jnp.arange(self.reg_max, dtype=jnp.float32)
+        dist = jnp.einsum("bamr,r->bam", p, proj)
+        return dist2bbox(dist, anchor_points, xywh=False)
+
+    def _prepare_targets(self, targets, img_h, img_w):
+        """(B, M, 5) normalized (cls, xywh) -> labels, xyxy px boxes, mask."""
+        gt_labels = targets[..., :1]
+        scale = jnp.asarray([img_w, img_h, img_w, img_h], jnp.float32)
+        gt_bboxes = xywh2xyxy(targets[..., 1:5] * scale)
+        mask_gt = (targets[..., 3:4] > 0) & (targets[..., 4:5] > 0)
+        gt_bboxes = gt_bboxes * mask_gt  # zero out padding rows
+        return gt_labels, gt_bboxes, mask_gt
+
+    def _branch_losses(self, feats, gt_labels, gt_bboxes, mask_gt,
+                       anchor_points, stride_col):
+        """Compute (iou_loss, cls_loss, dfl_loss) for one prediction branch."""
+        pred_distri, pred_scores = self._flatten(feats)
+        pred_bboxes = self._decode(anchor_points, pred_distri)  # grid units
+
+        target_labels, target_bboxes, target_scores, fg_mask = self.assigner(
+            jax.nn.sigmoid(jax.lax.stop_gradient(pred_scores)),
+            jax.lax.stop_gradient(pred_bboxes) * stride_col[None],
+            anchor_points * stride_col,
+            gt_labels, gt_bboxes, mask_gt,
+        )
+        target_bboxes = target_bboxes / stride_col[None]
+        tss = jnp.maximum(target_scores.sum(), 1.0)
+
+        cls_loss = bce_with_logits(pred_scores, target_scores,
+                                   self.config.cls_pw).sum() / tss
+
+        fg = fg_mask.astype(jnp.float32)                      # (B, A)
+        weight = target_scores.sum(-1) * fg                   # (B, A)
+        iou = bbox_iou(pred_bboxes, target_bboxes, xywh=False,
+                       iou_type="ciou")[..., 0]               # (B, A)
+        iou_loss = ((1.0 - iou) * weight).sum() / tss
+
+        target_ltrb = bbox2dist(anchor_points, target_bboxes,
+                                self.reg_max - 1)             # (B, A, 4)
+        b, a, _ = pred_distri.shape
+        dist_logits = pred_distri.reshape(b, a, 4, self.reg_max)
+        dfl = df_loss(dist_logits, target_ltrb, self.reg_max - 1)  # (B, A)
+        dfl_loss = (dfl * weight).sum() / tss
+
+        return iou_loss, cls_loss, dfl_loss
+
+    # -- entry points --------------------------------------------------------
+
+    def __call__(self, preds, targets):
+        if isinstance(preds, dict):
+            return self.forward_dual(preds, targets)
+        return self.forward_single(preds, targets)
+
+    def forward_single(self, feats, targets):
+        """feats: list of per-level NHWC raw maps
+        (reference: tal.py:135-190)."""
+        h, w = feats[0].shape[1], feats[0].shape[2]
+        img_h, img_w = h * self.strides[0], w * self.strides[0]
+        anchor_points, stride_col = self._anchors(feats)
+        gt_labels, gt_bboxes, mask_gt = self._prepare_targets(
+            targets, img_h, img_w)
+
+        iou_l, cls_l, dfl_l = self._branch_losses(
+            feats, gt_labels, gt_bboxes, mask_gt, anchor_points, stride_col)
+
+        loss = jnp.stack([iou_l * self.config.box_gain,
+                          cls_l * self.config.cls_gain,
+                          dfl_l * self.config.dfl_gain])
+        batch_size = feats[0].shape[0]
+        return loss.sum() * batch_size, jax.lax.stop_gradient(loss)
+
+    def forward_dual(self, preds, targets):
+        """preds: {"aux": [...], "main": [...]}; aux weighted 0.25
+        (reference: tal.py:192-285)."""
+        feats_aux, feats_main = preds["aux"], preds["main"]
+        h, w = feats_main[0].shape[1], feats_main[0].shape[2]
+        img_h, img_w = h * self.strides[0], w * self.strides[0]
+        anchor_points, stride_col = self._anchors(feats_main)
+        gt_labels, gt_bboxes, mask_gt = self._prepare_targets(
+            targets, img_h, img_w)
+
+        iou_a, cls_a, dfl_a = self._branch_losses(
+            feats_aux, gt_labels, gt_bboxes, mask_gt, anchor_points, stride_col)
+        iou_m, cls_m, dfl_m = self._branch_losses(
+            feats_main, gt_labels, gt_bboxes, mask_gt, anchor_points, stride_col)
+
+        loss = jnp.stack([
+            (iou_a * 0.25 + iou_m) * self.config.box_gain,
+            (cls_a * 0.25 + cls_m) * self.config.cls_gain,
+            (dfl_a * 0.25 + dfl_m) * self.config.dfl_gain,
+        ])
+        batch_size = feats_main[0].shape[0]
+        return loss.sum() * batch_size, jax.lax.stop_gradient(loss)
+
+
+def pad_targets(labels_list, max_boxes: int | None = None):
+    """Host-side: list of per-image (n, 5) [cls, xywhn] -> (B, M, 5) padded.
+
+    Replaces the reference's in-loss python-loop `_preprocess`
+    (tal.py:287-313) — padding happens once in the data pipeline, keeping
+    the loss fully static.
+    """
+    import numpy as np
+
+    if max_boxes is None:
+        max_boxes = max((len(l) for l in labels_list), default=1)
+    max_boxes = max(max_boxes, 1)
+    out = np.zeros((len(labels_list), max_boxes, 5), np.float32)
+    for i, lab in enumerate(labels_list):
+        n = min(len(lab), max_boxes)
+        if n:
+            out[i, :n] = lab[:n]
+    return out

@@ -1,0 +1,138 @@
+"""Inference-time re-parameterization: fold BN into convs, merge RepConv.
+
+The reference never fuses (SURVEY §2.4.8) — its RepConv runs both branches
+at inference. Here `fuse_model` walks the plan and produces a new params
+pytree where every Conv+BN collapses to conv+bias and every RepConv's
+3x3+1x1 pair collapses to a single 3x3 conv. The fused model does strictly
+less work per image and XLA fuses the bias+SiLU epilogue into each conv.
+
+Parity note: fused numerics differ from unfused at float rounding level;
+equivalence tests compare the unfused path (atol 1e-5 like the reference
+harness, scripts/validate_equivalence.py) and separately bound the
+fused-vs-unfused drift.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from yolo_re_tpu.models import blocks as B
+from yolo_re_tpu.models.builder import Plan
+from yolo_re_tpu.models.heads import (
+    DetectDFL,
+    DetectDFLConfig,
+    DualDetectDFL,
+    DualDetectDFLConfig,
+    _tower_cfgs,
+    head_widths,
+)
+
+Params = dict[str, Any]
+
+
+def _fuse(block, cfg, params, stats) -> tuple[Params, Params]:
+    if block is B.Conv:
+        return B.Conv.fuse(cfg, params, stats)
+    if block is B.RepConv:
+        return B.RepConv.fuse(cfg, params, stats)
+    if block in (B.CBLinear, B.CBFuse, B.Concat, B.Silence, B.Upsample):
+        return params, stats
+
+    if block is B.RepNBottleneck:
+        c1, c2 = B.RepNBottleneck._sub(cfg)
+        p1, _ = _fuse(B.RepConv, c1, params["conv1"], stats["conv1"])
+        p2, _ = _fuse(B.Conv, c2, params["conv2"], stats["conv2"])
+        return {"conv1": p1, "conv2": p2}, {"conv1": {}, "conv2": {}}
+
+    if block is B.RepNCSP:
+        c1, c2, c3, cb = B.RepNCSP._sub(cfg)
+        out_p = {
+            "conv1": _fuse(B.Conv, c1, params["conv1"], stats["conv1"])[0],
+            "conv2": _fuse(B.Conv, c2, params["conv2"], stats["conv2"])[0],
+            "conv3": _fuse(B.Conv, c3, params["conv3"], stats["conv3"])[0],
+            "bottlenecks": [
+                _fuse(B.RepNBottleneck, cb, p, s)[0]
+                for p, s in zip(params["bottlenecks"], stats["bottlenecks"])
+            ],
+        }
+        out_s = {"conv1": {}, "conv2": {}, "conv3": {},
+                 "bottlenecks": [{"conv1": {}, "conv2": {}}
+                                 for _ in params["bottlenecks"]]}
+        return out_p, out_s
+
+    if block is B.RepNCSPELAN4:
+        cin, csp1, cv1, csp2, cv2, cout = B.RepNCSPELAN4._sub(cfg)
+        sub = {"conv_in": (B.Conv, cin), "csp1": (B.RepNCSP, csp1),
+               "conv1": (B.Conv, cv1), "csp2": (B.RepNCSP, csp2),
+               "conv2": (B.Conv, cv2), "conv_out": (B.Conv, cout)}
+        out_p, out_s = {}, {}
+        for name, (cls, c) in sub.items():
+            out_p[name], out_s[name] = _fuse(cls, c, params[name], stats[name])
+        return out_p, out_s
+
+    if block is B.SPPELAN:
+        cin, cout = B.SPPELAN._sub(cfg)
+        return ({
+            "conv_in": _fuse(B.Conv, cin, params["conv_in"], stats["conv_in"])[0],
+            "conv_out": _fuse(B.Conv, cout, params["conv_out"], stats["conv_out"])[0],
+        }, {"conv_in": {}, "conv_out": {}})
+
+    if block is B.ADown:
+        cs, cp = B.ADown._sub(cfg)
+        return ({
+            "conv_stride": _fuse(B.Conv, cs, params["conv_stride"],
+                                 stats["conv_stride"])[0],
+            "conv_pool": _fuse(B.Conv, cp, params["conv_pool"],
+                               stats["conv_pool"])[0],
+        }, {"conv_stride": {}, "conv_pool": {}})
+
+    if block is DetectDFL:
+        assert isinstance(cfg, DetectDFLConfig)
+        c2, c3 = head_widths(cfg.in_channels[0], cfg.num_classes, cfg.reg_max)
+        towers, tstats = [], []
+        for i, ch in enumerate(cfg.in_channels):
+            towers.append(_fuse_tower(params["towers"][i], stats["towers"][i],
+                                      ch, c2, c3, cfg))
+            tstats.append({"box": [{}, {}, {}], "cls": [{}, {}, {}]})
+        return {"towers": towers}, {"towers": tstats}
+
+    if block is DualDetectDFL:
+        assert isinstance(cfg, DualDetectDFLConfig)
+        n = cfg.num_levels
+        ch_aux, ch_main = cfg.in_channels[:n], cfg.in_channels[n:]
+        c2, c3 = head_widths(ch_aux[0], cfg.num_classes, cfg.reg_max)
+        c4, c5 = head_widths(ch_main[0], cfg.num_classes, cfg.reg_max)
+        out_p = {"aux": [], "main": []}
+        out_s = {"aux": [], "main": []}
+        for i in range(n):
+            out_p["aux"].append(_fuse_tower(params["aux"][i], stats["aux"][i],
+                                            ch_aux[i], c2, c3, cfg))
+            out_p["main"].append(_fuse_tower(params["main"][i], stats["main"][i],
+                                             ch_main[i], c4, c5, cfg))
+            empty = {"box": [{}, {}, {}], "cls": [{}, {}, {}]}
+            out_s["aux"].append(empty)
+            out_s["main"].append(dict(empty))
+        return out_p, out_s
+
+    raise ValueError(f"Don't know how to fuse block {block}")
+
+
+def _fuse_tower(params, stats, ch, c2, c3, cfg):
+    box_cfgs, cls_cfgs = _tower_cfgs(ch, c2, c3, cfg.num_classes, cfg.reg_max)
+    out = {"box": [], "cls": []}
+    for i, c in enumerate(box_cfgs):
+        out["box"].append(_fuse(B.Conv, c, params["box"][i], stats["box"][i])[0])
+    out["box"].append(params["box"][2])  # final 1x1 already conv+bias
+    for i, c in enumerate(cls_cfgs):
+        out["cls"].append(_fuse(B.Conv, c, params["cls"][i], stats["cls"][i])[0])
+    out["cls"].append(params["cls"][2])
+    return out
+
+
+def fuse_model(plan: Plan, params: Params, stats: Params) -> tuple[Params, Params]:
+    """Fuse every layer in the plan; returns (fused_params, empty_stats)."""
+    out_p, out_s = {}, {}
+    for step in plan.steps:
+        out_p[step.name], out_s[step.name] = _fuse(
+            step.block, step.cfg, params[step.name], stats[step.name])
+    return out_p, out_s

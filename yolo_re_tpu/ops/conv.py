@@ -1,0 +1,249 @@
+"""Core convolution / pooling / resize primitives, TPU-native (NHWC, XLA).
+
+Design: pure functions over explicit parameter pytrees. Layout is NHWC
+(TPU-friendly: channels on the 128-lane minor dimension) with HWIO kernels;
+the torch reference uses NCHW/OIHW (reference: src/yolo/blocks/conv.py).
+Convolutions accumulate in float32 via ``preferred_element_type`` so bfloat16
+activations still hit the MXU with full-precision accumulation.
+
+BatchNorm follows the reference numerics exactly (eps=1e-3, momentum=0.03,
+unbiased running-variance update; reference: src/yolo/blocks/conv.py:85).
+For inference the BN affine is folded into the conv weights ahead of time
+(`fold_conv_bn`), which the reference never does (SURVEY §2.4.8) — XLA then
+sees a single conv+bias+activation and fuses the epilogue.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Params = dict[str, Any]
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.03
+
+
+def autopad(kernel_size: int, padding: int | None = None, dilation: int = 1) -> int:
+    """'same' padding rule (reference: src/yolo/blocks/conv.py:12-21)."""
+    if dilation > 1:
+        kernel_size = dilation * (kernel_size - 1) + 1
+    if padding is None:
+        padding = kernel_size // 2
+    return padding
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def hardswish(x):
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+_ACTIVATIONS = {
+    "silu": silu,
+    "relu": jax.nn.relu,
+    "leaky_relu": partial(jax.nn.leaky_relu, negative_slope=0.1),
+    "hardswish": hardswish,
+    "none": lambda x: x,
+}
+
+
+def get_activation(name: str):
+    """Activation by name (reference: src/yolo/blocks/conv.py:24-38)."""
+    try:
+        return _ACTIVATIONS[name]
+    except KeyError:
+        raise ValueError(f"Unknown activation: {name}") from None
+
+
+# ---------------------------------------------------------------------------
+# Raw conv
+# ---------------------------------------------------------------------------
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+    dilation: int = 1,
+) -> jax.Array:
+    """2D convolution, NHWC x HWIO -> NHWC, f32 accumulation."""
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        feature_group_count=groups,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def init_conv_kernel(
+    key: jax.Array,
+    kernel_size: int,
+    in_channels: int,
+    out_channels: int,
+    groups: int = 1,
+) -> jax.Array:
+    """Kaiming-uniform init matching torch Conv2d default (a=sqrt(5)).
+
+    torch default: U(-b, b) with b = 1/sqrt(fan_in), fan_in = k*k*cin/groups.
+    """
+    fan_in = kernel_size * kernel_size * (in_channels // groups)
+    bound = 1.0 / math.sqrt(fan_in)
+    shape = (kernel_size, kernel_size, in_channels // groups, out_channels)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+# ---------------------------------------------------------------------------
+# Conv + BN + act block (the fundamental unit; reference Conv)
+# ---------------------------------------------------------------------------
+
+def init_conv_bn(
+    key: jax.Array,
+    in_channels: int,
+    out_channels: int,
+    kernel_size: int = 1,
+    groups: int = 1,
+) -> tuple[Params, Params]:
+    """Init (params, stats) for a Conv+BN block.
+
+    params = {'w', 'scale', 'bias'}; stats = {'mean', 'var'}.
+    """
+    params = {
+        "w": init_conv_kernel(key, kernel_size, in_channels, out_channels, groups),
+        "scale": jnp.ones((out_channels,), jnp.float32),
+        "bias": jnp.zeros((out_channels,), jnp.float32),
+    }
+    stats = {
+        "mean": jnp.zeros((out_channels,), jnp.float32),
+        "var": jnp.ones((out_channels,), jnp.float32),
+    }
+    return params, stats
+
+
+def conv_bn_act(
+    params: Params,
+    stats: Params | None,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    groups: int = 1,
+    dilation: int = 1,
+    act: str = "silu",
+    train: bool = False,
+) -> tuple[jax.Array, Params | None]:
+    """Conv -> BatchNorm -> activation (reference: src/yolo/blocks/conv.py:55-93).
+
+    In train mode, normalizes with batch statistics and returns updated
+    running stats. Under a sharded-batch `jit`, the batch-mean reductions are
+    global (XLA inserts the cross-device collectives), giving SyncBatchNorm
+    semantics for free — the design item SURVEY §2.2 calls out.
+
+    If params contains a fused bias 'b' (from `fold_conv_bn`), BN is skipped.
+    """
+    y = conv2d(x, params["w"], stride=stride, padding=padding, groups=groups,
+               dilation=dilation)
+
+    if "b" in params:  # inference-fused path
+        y = y + params["b"].astype(y.dtype)
+        return get_activation(act)(y), stats
+
+    assert stats is not None
+    if train:
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
+        n = yf.shape[0] * yf.shape[1] * yf.shape[2]
+        # torch updates running_var with the *unbiased* batch variance.
+        unbiased = var * (n / max(n - 1, 1))
+        new_stats = {
+            "mean": (1.0 - BN_MOMENTUM) * stats["mean"] + BN_MOMENTUM * mean,
+            "var": (1.0 - BN_MOMENTUM) * stats["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = stats["mean"], stats["var"]
+        new_stats = stats
+
+    inv = lax.rsqrt(var + BN_EPS) * params["scale"]
+    y = y * inv.astype(y.dtype) + (params["bias"] - mean * inv).astype(y.dtype)
+    return get_activation(act)(y), new_stats
+
+
+def fold_conv_bn(params: Params, stats: Params) -> Params:
+    """Fold BN affine+stats into conv weight and bias for inference.
+
+    w' = w * scale/sqrt(var+eps) (per out-channel), b' = bias - mean*scale/sqrt.
+    The reference never re-parameterizes (SURVEY §2.4.8); we do, for the
+    deployment/bench path, while parity tests compare the unfused numerics.
+    """
+    inv = params["scale"] / np.sqrt(np.asarray(stats["var"]) + BN_EPS)
+    inv = jnp.asarray(inv, jnp.float32)
+    return {
+        "w": params["w"] * inv[None, None, None, :],
+        "b": params["bias"] - stats["mean"] * inv,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Pooling / resize
+# ---------------------------------------------------------------------------
+
+def max_pool2d(x: jax.Array, kernel: int, stride: int, padding: int) -> jax.Array:
+    """Max pool, NHWC."""
+    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                      else jnp.iinfo(x.dtype).min, x.dtype)
+    return lax.reduce_window(
+        x, neg, lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+def avg_pool2d(x: jax.Array, kernel: int, stride: int, padding: int = 0) -> jax.Array:
+    """Average pool (count includes padding-free window only for padding=0)."""
+    s = lax.reduce_window(
+        x, jnp.asarray(0.0, x.dtype), lax.add,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+    return s / (kernel * kernel)
+
+
+def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
+    """Nearest-neighbor integer upsample (== torch F.interpolate nearest)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, scale, w, scale, c))
+    return x.reshape(b, h * scale, w * scale, c)
+
+
+def interpolate_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
+    """torch-semantics nearest resize: src_idx = floor(dst * in/out).
+
+    Shapes are static under jit, so indices are computed host-side.
+    """
+    _, h, w, _ = x.shape
+    if (out_h, out_w) == (h, w):
+        return x
+    rows = np.floor(np.arange(out_h) * (h / out_h)).astype(np.int32)
+    cols = np.floor(np.arange(out_w) * (w / out_w)).astype(np.int32)
+    return x[:, rows][:, :, cols]

@@ -1,0 +1,147 @@
+"""Fixed-shape, on-device batched NMS.
+
+The reference runs NMS on the host, per image, via torchvision's CUDA/C++
+kernel or a Python greedy loop (reference: src/yolo/utils/nms.py:19-128).
+That design transfers the full (B, A, 4+nc) prediction tensor to the host
+and loops in Python — a non-starter on TPU.
+
+Here NMS is a single jit-compiled, batched, fixed-shape computation:
+
+1. per anchor: best class score + index (one VPU reduction),
+2. top-K pre-selection by confidence (lax.top_k),
+3. class-offset trick so per-class NMS is one class-agnostic pass
+   (reference: src/yolo/utils/nms.py:77-82 — we use a constant offset
+   instead of data-dependent ``boxes.max()+1`` to keep the compute static),
+4. greedy suppression as a ``lax.scan`` of max_det steps; every step is a
+   K-wide vector op so the VPU stays busy.
+
+Everything returns padded (B, max_det, ...) outputs plus a validity mask —
+no dynamic shapes anywhere, so the whole decode+NMS pipeline fuses into the
+inference program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from yolo_re_tpu.ops.boxes import xywh2xyxy
+
+# Class-offset constant for class-aware NMS. Must exceed any box coordinate;
+# boxes live in input-pixel space (<= ~7680 for any realistic input size).
+MAX_WH = 7680.0
+
+
+def _iou_1_to_many(box: jax.Array, boxes: jax.Array) -> jax.Array:
+    """IoU of one xyxy box (4,) against (K, 4)."""
+    lt = jnp.maximum(box[:2], boxes[:, :2])
+    rb = jnp.minimum(box[2:], boxes[:, 2:])
+    wh = jnp.clip(rb - lt, 0.0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    area1 = (box[2] - box[0]) * (box[3] - box[1])
+    area2 = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / (area1 + area2 - inter)
+
+
+def _nms_single(
+    boxes: jax.Array,       # (K, 4) xyxy, real coordinates
+    boxes_off: jax.Array,   # (K, 4) xyxy, class-offset for suppression
+    scores: jax.Array,      # (K,) confidence; invalid entries <= 0
+    classes: jax.Array,     # (K,) int32
+    iou_thres: float,
+    max_det: int,
+):
+    """Greedy NMS on one image via scan; returns padded (max_det, ...)."""
+
+    def step(live_scores, _):
+        idx = jnp.argmax(live_scores)
+        score = live_scores[idx]
+        keep = score > 0.0
+        chosen_off = boxes_off[idx]
+        iou = _iou_1_to_many(chosen_off, boxes_off)
+        # Suppress overlapping boxes and the chosen box itself; if nothing
+        # is left (keep==False) this is a no-op on an all-zero vector.
+        suppress = (iou > iou_thres) | (jnp.arange(scores.shape[0]) == idx)
+        live_scores = jnp.where(keep & suppress, 0.0, live_scores)
+        out = (
+            jnp.where(keep, boxes[idx], 0.0),
+            jnp.where(keep, score, 0.0),
+            jnp.where(keep, classes[idx], -1),
+            keep,
+        )
+        return live_scores, out
+
+    _, (out_boxes, out_scores, out_classes, out_valid) = jax.lax.scan(
+        step, scores, None, length=max_det)
+    return out_boxes, out_scores, out_classes, out_valid
+
+
+@partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det",
+                                   "pre_topk", "agnostic"))
+def non_max_suppression(
+    predictions: jax.Array,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int = 2048,
+    agnostic: bool = False,
+) -> dict[str, jax.Array]:
+    """Batched NMS over (B, A, 4 + num_classes) decoded predictions.
+
+    Boxes are xywh in pixels, class scores already sigmoided — the same
+    contract as reference src/yolo/utils/nms.py:19-42.
+
+    Returns dict of fixed-shape arrays:
+        boxes   (B, max_det, 4) xyxy
+        scores  (B, max_det)
+        classes (B, max_det) int32, -1 for padding
+        valid   (B, max_det) bool
+    """
+    num_anchors = predictions.shape[1]
+    k = min(pre_topk, num_anchors)
+
+    def per_image(pred):
+        boxes_xywh = pred[:, :4].astype(jnp.float32)
+        cls_scores = pred[:, 4:].astype(jnp.float32)
+        conf = jnp.max(cls_scores, axis=1)
+        cls_idx = jnp.argmax(cls_scores, axis=1).astype(jnp.int32)
+        conf = jnp.where(conf > conf_thres, conf, 0.0)
+
+        conf_k, sel = jax.lax.top_k(conf, k)
+        boxes = xywh2xyxy(boxes_xywh[sel])
+        cls_k = cls_idx[sel]
+        if agnostic:
+            boxes_off = boxes
+        else:
+            boxes_off = boxes + (cls_k.astype(jnp.float32) * MAX_WH)[:, None]
+        return _nms_single(boxes, boxes_off, conf_k, cls_k, iou_thres, max_det)
+
+    out_boxes, out_scores, out_classes, out_valid = jax.vmap(per_image)(predictions)
+    return {
+        "boxes": out_boxes,
+        "scores": out_scores,
+        "classes": out_classes,
+        "valid": out_valid,
+    }
+
+
+def nms_to_list(out: dict[str, jax.Array]):
+    """Convert padded NMS output to the reference's per-image list of
+    (n, 6) [x1, y1, x2, y2, conf, cls] numpy arrays (host-side helper)."""
+    import numpy as np
+
+    boxes = np.asarray(out["boxes"])
+    scores = np.asarray(out["scores"])
+    classes = np.asarray(out["classes"])
+    valid = np.asarray(out["valid"])
+    result = []
+    for b in range(boxes.shape[0]):
+        m = valid[b]
+        det = np.concatenate(
+            [boxes[b][m], scores[b][m, None], classes[b][m, None].astype(np.float32)],
+            axis=1,
+        )
+        result.append(det)
+    return result
