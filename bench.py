@@ -1,0 +1,89 @@
+"""Benchmark: gelan-c 640x640 batched inference images/sec, incl. NMS.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` compares
+against the torch reference measured on this host's CPU once and stored in
+baseline_measurements.json (see scripts/measure_reference_baseline.py).
+Falls back to vs_baseline = null when no measurement exists.
+
+Pipeline measured: fused (BN+RepConv folded) bf16 forward + DFL decode +
+class-aware fixed-shape NMS, one jit program, batch 32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+SIZE = int(os.environ.get("BENCH_SIZE", "640"))
+ITERS = int(os.environ.get("BENCH_ITERS", "20"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+MODEL = os.environ.get("BENCH_MODEL", "gelan-c")
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.ops.nms import non_max_suppression
+
+    model = YOLO.from_yaml(f"configs/models/{MODEL}.yaml")
+    params, stats = model.init(jax.random.key(0))
+    params, stats = model.fuse(params, stats)
+
+    @jax.jit
+    def infer(params, stats, images):
+        (decoded, _), _ = model.apply(params, stats, images, train=False)
+        return non_max_suppression(decoded, conf_thres=0.25, iou_thres=0.45)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((BATCH, SIZE, SIZE, 3), np.float32),
+                         dtype=jnp.bfloat16)
+    params = jax.device_put(params)
+    stats = jax.device_put(stats)
+
+    for _ in range(WARMUP):
+        out = infer(params, stats, images)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = infer(params, stats, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = BATCH * ITERS / dt
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "baseline_measurements.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = base.get("reference_images_per_sec")
+        if ref:
+            vs_baseline = images_per_sec / ref
+
+    print(json.dumps({
+        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} inference incl. NMS "
+                  f"({jax.devices()[0].platform})",
+        "value": round(images_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from yolo_re_tpu.utils.platform import select_platform  # noqa: E402
+
+select_platform()
+
 REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
 
 

@@ -1,0 +1,145 @@
+"""Per-block shape and invariant tests (reference model: tests/test_blocks.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yolo_re_tpu.models import blocks as B
+
+
+def run(block, cfg, x, key=0, train=False):
+    params, stats = block.init(jax.random.key(key), cfg)
+    y, ns = block.apply(cfg, params, stats, x, train=train)
+    return y, params, stats, ns
+
+
+def test_conv_shapes():
+    x = jnp.ones((2, 16, 16, 8))
+    y, *_ = run(B.Conv, B.ConvConfig(8, 16, 3, 1), x)
+    assert y.shape == (2, 16, 16, 16)
+    y, *_ = run(B.Conv, B.ConvConfig(8, 16, 3, 2), x)
+    assert y.shape == (2, 8, 8, 16)
+    y, *_ = run(B.Conv, B.ConvConfig(8, 16, 1, 1), x)
+    assert y.shape == (2, 16, 16, 16)
+
+
+def test_conv_groups():
+    x = jnp.ones((1, 8, 8, 8))
+    y, *_ = run(B.Conv, B.ConvConfig(8, 16, 3, 1, groups=4), x)
+    assert y.shape == (1, 8, 8, 16)
+
+
+def test_conv_train_updates_stats():
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 4)) * 3 + 1
+    cfg = B.ConvConfig(4, 8, 3)
+    params, stats = B.Conv.init(jax.random.key(0), cfg)
+    _, ns = B.Conv.apply(cfg, params, stats, x, train=True)
+    assert not np.allclose(np.asarray(ns["mean"]), 0.0)
+    # eval leaves stats untouched
+    _, ns2 = B.Conv.apply(cfg, params, stats, x, train=False)
+    assert np.allclose(np.asarray(ns2["mean"]), 0.0)
+
+
+def test_repconv():
+    x = jnp.ones((2, 16, 16, 8))
+    y, *_ = run(B.RepConv, B.RepConvConfig(8, 16), x)
+    assert y.shape == (2, 16, 16, 16)
+    with pytest.raises(AssertionError):
+        B.RepConv.init(jax.random.key(0), B.RepConvConfig(8, 16, kernel_size=5))
+
+
+def test_repconv_fuse_matches_eval():
+    cfg = B.RepConvConfig(8, 16)
+    params, stats = B.RepConv.init(jax.random.key(0), cfg)
+    # randomize stats so the fold is non-trivial
+    stats = jax.tree_util.tree_map(
+        lambda s: s + jax.random.uniform(jax.random.key(1), s.shape) * 0.3,
+        stats)
+    x = jax.random.normal(jax.random.key(2), (2, 8, 8, 8))
+    y_ref, _ = B.RepConv.apply(cfg, params, stats, x, train=False)
+    fp, fs = B.RepConv.fuse(cfg, params, stats)
+    y_fused, _ = B.RepConv.apply(cfg, fp, fs, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_fused),
+                               atol=1e-4)
+
+
+def test_bottleneck_residual():
+    x = jnp.ones((1, 8, 8, 16))
+    y, *_ = run(B.RepNBottleneck, B.RepNBottleneckConfig(16, 16, shortcut=True), x)
+    assert y.shape == (1, 8, 8, 16)
+    y2, *_ = run(B.RepNBottleneck,
+                 B.RepNBottleneckConfig(16, 32, shortcut=True), x)
+    assert y2.shape == (1, 8, 8, 32)
+
+
+def test_repncsp():
+    x = jnp.ones((1, 8, 8, 16))
+    y, *_ = run(B.RepNCSP, B.RepNCSPConfig(16, 32, num_repeats=2), x)
+    assert y.shape == (1, 8, 8, 32)
+
+
+def test_repncspelan4():
+    x = jnp.ones((1, 16, 16, 32))
+    cfg = B.RepNCSPELAN4Config(32, 64, hidden_channels=32, block_channels=16)
+    y, *_ = run(B.RepNCSPELAN4, cfg, x)
+    assert y.shape == (1, 16, 16, 64)
+
+
+def test_sppelan():
+    x = jnp.ones((1, 16, 16, 32))
+    y, *_ = run(B.SPPELAN, B.SPPELANConfig(32, 64, 16), x)
+    assert y.shape == (1, 16, 16, 64)
+
+
+def test_adown_halves_spatial():
+    x = jnp.ones((2, 16, 16, 32))
+    y, *_ = run(B.ADown, B.ADownConfig(32, 64), x)
+    assert y.shape == (2, 8, 8, 64)
+
+
+def test_cblinear_split_shapes():
+    x = jnp.ones((1, 8, 8, 16))
+    cfg = B.CBLinearConfig(16, (4, 8, 12))
+    y, *_ = run(B.CBLinear, cfg, x)
+    assert isinstance(y, tuple)
+    assert [t.shape[-1] for t in y] == [4, 8, 12]
+
+
+def test_cbfuse_interpolates_and_sums():
+    cfg = B.CBFuseConfig(idx=(0, 1))
+    t1 = (jnp.ones((1, 4, 4, 8)), jnp.ones((1, 4, 4, 8)) * 2)
+    t2 = (jnp.zeros((1, 8, 8, 8)), jnp.ones((1, 8, 8, 8)) * 3)
+    target = jnp.ones((1, 8, 8, 8))
+    y, _ = B.CBFuse.apply(cfg, {}, {}, [t1, t2, target])
+    assert y.shape == (1, 8, 8, 8)
+    np.testing.assert_allclose(np.asarray(y), 1.0 + 1.0 + 3.0)
+
+
+def test_concat():
+    a = jnp.ones((1, 4, 4, 8))
+    b = jnp.ones((1, 4, 4, 16))
+    y, _ = B.Concat.apply(B.ConcatConfig(), {}, {}, [a, b])
+    assert y.shape == (1, 4, 4, 24)
+
+
+def test_silence_identity():
+    x = jax.random.normal(jax.random.key(0), (1, 4, 4, 8))
+    y, _ = B.Silence.apply(B.SilenceConfig(), {}, {}, x)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_upsample():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y, _ = B.Upsample.apply(B.UpsampleConfig(scale_factor=2), {}, {}, x)
+    assert y.shape == (1, 4, 4, 1)
+    np.testing.assert_allclose(np.asarray(y[0, :2, :2, 0]),
+                               [[0, 0], [0, 0]])
+    np.testing.assert_allclose(np.asarray(y[0, 2:, 2:, 0]),
+                               [[3, 3], [3, 3]])
+
+
+def test_registry():
+    assert B.get_block_class("Conv") is B.Conv
+    with pytest.raises(ValueError):
+        B.get_block_class("NopeBlock")

@@ -1,0 +1,183 @@
+"""Data pipeline tests (reference model: tests/test_data.py)."""
+
+import numpy as np
+import pytest
+
+from yolo_re_tpu.data.augment import (
+    augment_hsv,
+    letterbox,
+    xywhn2xyxy,
+    xyxy2xywhn,
+)
+from yolo_re_tpu.data.config import AugmentConfig, CacheMode, DataConfig
+from yolo_re_tpu.data.dataset import DataLoader, YOLODataset, to_tensor
+from yolo_re_tpu.data.transforms import (
+    HSV,
+    Letterbox,
+    Mosaic,
+    RandomFlip,
+    Sample,
+    default_train_transforms,
+)
+
+
+def test_coord_roundtrip():
+    xywhn = np.array([[0.5, 0.5, 0.2, 0.4]], np.float32)
+    xyxy = xywhn2xyxy(xywhn, 100, 200)
+    np.testing.assert_allclose(xyxy, [[40, 60, 60, 140]])
+    back = xyxy2xywhn(xyxy, 100, 200)
+    np.testing.assert_allclose(back, xywhn, atol=1e-6)
+
+
+def test_letterbox_shapes():
+    img = np.zeros((100, 200, 3), np.uint8)
+    out, ratio, pad = letterbox(img, 640)
+    assert out.shape == (640, 640, 3)
+    assert ratio == (3.2, 3.2)
+    out, _, _ = letterbox(img, 640, auto=True, stride=32)
+    assert out.shape[1] == 640
+    assert out.shape[0] % 32 == 0
+
+
+def test_hsv_zero_gain_identity():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    orig = img.copy()
+    augment_hsv(img, 0, 0, 0, rng)
+    np.testing.assert_array_equal(img, orig)
+
+
+def test_hsv_range():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    augment_hsv(img, 0.015, 0.7, 0.4, rng)
+    assert img.dtype == np.uint8
+
+
+def test_flip_deterministic():
+    img = np.zeros((10, 10, 3), np.uint8)
+    img[:, :5] = 255  # left half white
+    labels = np.array([[0, 0.25, 0.5, 0.5, 1.0]], np.float32)
+    flip = RandomFlip(flip_lr=1.0, flip_ud=0.0)
+    out = flip(Sample(img, labels, 10), np.random.default_rng(0))
+    assert out.img[0, 0, 0] == 0       # left now black
+    assert out.img[0, -1, 0] == 255    # right now white
+    np.testing.assert_allclose(out.labels[0, 1], 0.75)
+
+
+def test_dataset_loading(synthetic_dataset):
+    ds = YOLODataset(synthetic_dataset, img_size=64)
+    assert len(ds) == 8
+    img, labels, hw = ds.load_raw(0)
+    assert img.ndim == 3
+    assert labels.shape[1] == 5
+    assert max(img.shape[:2]) == 64
+
+
+def test_dataset_cache_roundtrip(synthetic_dataset):
+    ds1 = YOLODataset(synthetic_dataset, img_size=64)
+    ds2 = YOLODataset(synthetic_dataset, img_size=64)  # from cache file
+    for a, b in zip(ds1.labels, ds2.labels):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(ds1.shapes, ds2.shapes)
+
+
+def test_dataset_ram_cache(synthetic_dataset):
+    ds = YOLODataset(synthetic_dataset, img_size=64, cache=CacheMode.RAM)
+    ds.load_raw(0)
+    assert 0 in ds._ram_cache
+
+
+def test_mosaic_output(synthetic_dataset):
+    ds = YOLODataset(synthetic_dataset, img_size=64)
+    mosaic = Mosaic(ds, img_size=64, prob=1.0, scale=0.5)
+    img, labels, hw = ds.load_raw(0)
+    out = mosaic(Sample(img, labels, 64), np.random.default_rng(0))
+    assert out.img.shape == (64, 64, 3)
+    # mosaic path outputs xyxy pixel labels
+    if len(out.labels):
+        assert out.labels[:, 1:5].max() <= 64 + 1e-3
+
+
+def test_mosaic_skip_path(synthetic_dataset):
+    ds = YOLODataset(synthetic_dataset, img_size=64)
+    mosaic = Mosaic(ds, img_size=64, prob=0.0)
+    img, labels, hw = ds.load_raw(0)
+    out = mosaic(Sample(img, labels, 64), np.random.default_rng(0))
+    assert out.img.shape == (64, 64, 3)
+    if len(out.labels):
+        assert out.labels[:, 1:5].max() > 1.5  # pixel coords
+
+
+def test_full_train_pipeline(synthetic_dataset):
+    ds = YOLODataset(synthetic_dataset, img_size=64, augment=True)
+    ds.transforms = default_train_transforms(ds, 64, AugmentConfig("full"))
+    s = ds.get_sample(0, np.random.default_rng(0))
+    assert s.img.shape == (64, 64, 3)
+    if len(s.labels):  # back to normalized
+        assert s.labels[:, 1:5].max() <= 1.0 + 1e-6
+        assert s.labels[:, 1:5].min() >= -1e-6
+
+
+def test_to_tensor():
+    img = np.full((4, 4, 3), 255, np.uint8)
+    img[..., 0] = 0  # B=0 in BGR
+    t = to_tensor(Sample(img, np.zeros((0, 5), np.float32), 4))
+    assert t.shape == (4, 4, 3)
+    assert t.dtype == np.float32
+    assert t[0, 0, 2] == 0.0  # B channel moved to last in RGB
+    assert t[0, 0, 0] == 1.0
+
+
+def test_dataloader_batches(synthetic_dataset):
+    ds = YOLODataset(synthetic_dataset, img_size=64)
+    ds.transforms = None
+    from yolo_re_tpu.data.transforms import default_val_transforms
+    ds.transforms = default_val_transforms(64)
+    loader = DataLoader(ds, batch_size=4, max_boxes=16, workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["images"].shape == (4, 64, 64, 3)
+    assert b["targets"].shape == (4, 16, 5)
+    assert b["nboxes"].shape == (4,)
+    assert b["nboxes"].max() >= 1
+
+
+def test_dataloader_deterministic(synthetic_dataset):
+    ds = YOLODataset(synthetic_dataset, img_size=64, augment=True)
+    ds.transforms = default_train_transforms(ds, 64, AugmentConfig("full"))
+    loader = DataLoader(ds, batch_size=4, max_boxes=16, shuffle=True,
+                        workers=2)
+    b1 = next(iter(loader))
+    b2 = next(iter(loader))
+    np.testing.assert_array_equal(b1["images"], b2["images"])
+    loader.set_epoch(1)
+    b3 = next(iter(loader))
+    assert not np.array_equal(b1["images"], b3["images"])
+
+
+def test_rect_mode(synthetic_dataset):
+    ds = YOLODataset(synthetic_dataset, img_size=64, rect=True, batch_size=4)
+    ar = ds.shapes[:, 0] / ds.shapes[:, 1]
+    assert np.all(np.diff(ar) >= 0)  # sorted by aspect ratio
+    assert ds.batch_shapes.shape == (2, 2)
+    assert np.all(ds.batch_shapes % ds.stride == 0)
+
+
+def test_augment_config_presets():
+    full = AugmentConfig("full")
+    assert full.mosaic == 1.0 and full.mixup == 0.15 and full.scale == 0.9
+    light = AugmentConfig("light", mosaic=0.5)
+    assert light.mosaic == 0.5 and light.mixup == 0.0
+    with pytest.raises(ValueError):
+        AugmentConfig("nope")
+
+
+def test_data_config_yaml(tmp_path):
+    p = tmp_path / "d.yaml"
+    p.write_text("train: /x/images\nval: /y/images\nnc: 3\nimg_size: 320\n")
+    cfg = DataConfig.from_yaml(p)
+    assert cfg.train_path == "/x/images"
+    assert cfg.num_classes == 3
+    assert cfg.img_size == 320

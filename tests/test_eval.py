@@ -1,0 +1,99 @@
+"""mAP metric tests (reference model: eval parts of its test suite +
+known-value checks)."""
+
+import numpy as np
+
+from yolo_re_tpu.eval.metrics import box_iou_np, compute_ap, compute_map
+
+
+def test_box_iou_np():
+    a = np.array([[0, 0, 10, 10]], np.float32)
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15]], np.float32)
+    iou = box_iou_np(a, b)
+    np.testing.assert_allclose(iou[0, 0], 1.0)
+    np.testing.assert_allclose(iou[0, 1], 25 / 175, rtol=1e-5)
+
+
+def test_compute_ap_perfect():
+    recall = np.array([0.5, 1.0])
+    precision = np.array([1.0, 1.0])
+    assert abs(compute_ap(recall, precision) - 1.0) < 1e-6
+
+
+def test_compute_ap_zero():
+    recall = np.array([0.0])
+    precision = np.array([0.0])
+    ap = compute_ap(recall, precision)
+    assert ap <= 1.0 / 101 + 1e-9  # only the r=0 point sees the sentinel
+
+
+def test_compute_map_perfect_predictions():
+    gt_boxes = [np.array([[10, 10, 50, 50], [60, 60, 90, 90]], np.float32)]
+    gt_classes = [np.array([0, 1])]
+    results = compute_map(
+        pred_boxes=[gt_boxes[0].copy()],
+        pred_scores=[np.array([0.9, 0.8], np.float32)],
+        pred_classes=[np.array([0, 1])],
+        gt_boxes=gt_boxes,
+        gt_classes=gt_classes,
+        num_classes=2,
+    )
+    assert results["map50"] > 0.99
+    assert results["map"] > 0.99
+
+
+def test_compute_map_wrong_class():
+    gt_boxes = [np.array([[10, 10, 50, 50]], np.float32)]
+    results = compute_map(
+        pred_boxes=[gt_boxes[0].copy()],
+        pred_scores=[np.array([0.9], np.float32)],
+        pred_classes=[np.array([1])],   # wrong class
+        gt_boxes=gt_boxes,
+        gt_classes=[np.array([0])],
+        num_classes=2,
+    )
+    assert results["map50"] == 0.0
+
+
+def test_compute_map_localization_threshold():
+    # IoU ~0.68 box: TP at 0.5, FP at 0.75
+    gt_boxes = [np.array([[0, 0, 100, 100]], np.float32)]
+    pred = [np.array([[0, 0, 100, 82]], np.float32)]  # IoU = 0.82
+    results = compute_map(
+        pred_boxes=pred,
+        pred_scores=[np.array([0.9], np.float32)],
+        pred_classes=[np.array([0])],
+        gt_boxes=gt_boxes,
+        gt_classes=[np.array([0])],
+        num_classes=1,
+    )
+    assert results["map50"] > 0.99
+    assert results["map75"] > 0.99
+    assert results["map"] < 0.99  # fails at highest thresholds
+
+
+def test_compute_map_duplicate_detection_penalized():
+    gt_boxes = [np.array([[10, 10, 50, 50]], np.float32)]
+    pred = [np.array([[10, 10, 50, 50], [11, 11, 51, 51]], np.float32)]
+    results = compute_map(
+        pred_boxes=pred,
+        pred_scores=[np.array([0.9, 0.8], np.float32)],
+        pred_classes=[np.array([0, 0])],
+        gt_boxes=gt_boxes,
+        gt_classes=[np.array([0])],
+        num_classes=1,
+    )
+    # second detection is FP (one-to-one matching) but AP@50 still high
+    assert 0.9 < results["map50"] <= 1.0
+
+
+def test_compute_map_empty_preds():
+    results = compute_map(
+        pred_boxes=[np.zeros((0, 4), np.float32)],
+        pred_scores=[np.zeros((0,), np.float32)],
+        pred_classes=[np.zeros((0,), np.int64)],
+        gt_boxes=[np.array([[0, 0, 10, 10]], np.float32)],
+        gt_classes=[np.array([0])],
+        num_classes=1,
+    )
+    assert results["map50"] == 0.0

@@ -1,0 +1,60 @@
+"""Native C++ host-kernel tests (skipped when native/libyolo_host.so is
+not built; build with `make -C native`)."""
+
+import numpy as np
+import pytest
+
+from yolo_re_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native lib not built")
+
+
+def test_resize_matches_cv2():
+    import cv2
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (100, 160, 3), dtype=np.uint8)
+    ours = native.resize_bilinear(img, 50, 80)
+    ref = cv2.resize(img, (80, 50), interpolation=cv2.INTER_LINEAR)
+    diff = np.abs(ours.astype(int) - ref.astype(int))
+    assert diff.max() <= 1  # rounding-mode differences only
+
+
+def test_letterbox_matches_python():
+    from yolo_re_tpu.data.augment import letterbox as lb_py
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (100, 200, 3), dtype=np.uint8)
+    out_n, ratio_n, pad_n = native.letterbox(img, 640, 640)
+    out_p, ratio_p, pad_p = lb_py(img, 640)
+    assert out_n.shape == out_p.shape
+    np.testing.assert_allclose(ratio_n, ratio_p, rtol=1e-6)
+    np.testing.assert_allclose(pad_n, pad_p, atol=1e-5)
+    diff = np.abs(out_n.astype(int) - out_p.astype(int))
+    assert diff.max() <= 2
+
+
+def test_nms_greedy():
+    boxes = np.array([
+        [0, 0, 10, 10],
+        [1, 1, 11, 11],
+        [50, 50, 60, 60],
+        [0.5, 0.5, 10.5, 10.5],
+    ], np.float32)
+    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
+    keep = native.nms(boxes, scores, 0.45)
+    assert list(keep) == [0, 2]
+    keep = native.nms(boxes, scores, 0.95)
+    assert list(keep) == [0, 1, 2, 3]
+    keep = native.nms(boxes, scores, 0.45, max_det=1)
+    assert list(keep) == [0]
+
+
+def test_hsv_identity_gains():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    orig = img.copy()
+    native.hsv_augment(img, 1.0, 1.0, 1.0)
+    # identity gains: BGR->HSV->BGR roundtrip, small quantization drift only
+    assert np.abs(img.astype(int) - orig.astype(int)).max() <= 6

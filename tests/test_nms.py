@@ -1,0 +1,115 @@
+"""Fixed-shape NMS tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_re_tpu.ops.nms import nms_to_list, non_max_suppression
+
+
+def make_pred(boxes_xywh, scores_per_class):
+    """(A, 4) + (A, nc) -> (1, A, 4+nc)."""
+    return jnp.asarray(
+        np.concatenate([boxes_xywh, scores_per_class], axis=1)[None])
+
+
+def test_nms_suppresses_overlaps():
+    boxes = np.array([
+        [50, 50, 20, 20],
+        [51, 51, 20, 20],   # heavy overlap with 0
+        [200, 200, 30, 30],
+    ], np.float32)
+    scores = np.zeros((3, 2), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 0] = 0.8
+    scores[2, 1] = 0.7
+    out = non_max_suppression(make_pred(boxes, scores), conf_thres=0.25,
+                              iou_thres=0.45)
+    dets = nms_to_list(out)[0]
+    assert dets.shape == (2, 6)
+    np.testing.assert_allclose(dets[:, 4], [0.9, 0.7], atol=1e-6)
+    assert list(dets[:, 5]) == [0, 1]
+
+
+def test_nms_class_aware():
+    # same box, different classes: both survive class-aware NMS
+    boxes = np.array([[50, 50, 20, 20], [50, 50, 20, 20]], np.float32)
+    scores = np.zeros((2, 3), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 2] = 0.8
+    out = non_max_suppression(make_pred(boxes, scores), conf_thres=0.25,
+                              iou_thres=0.45)
+    dets = nms_to_list(out)[0]
+    assert dets.shape == (2, 6)
+
+
+def test_nms_agnostic():
+    boxes = np.array([[50, 50, 20, 20], [50, 50, 20, 20]], np.float32)
+    scores = np.zeros((2, 3), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 2] = 0.8
+    out = non_max_suppression(make_pred(boxes, scores), conf_thres=0.25,
+                              iou_thres=0.45, agnostic=True)
+    dets = nms_to_list(out)[0]
+    assert dets.shape == (1, 6)
+
+
+def test_nms_conf_filter():
+    boxes = np.array([[50, 50, 20, 20]], np.float32)
+    scores = np.full((1, 2), 0.1, np.float32)
+    out = non_max_suppression(make_pred(boxes, scores), conf_thres=0.25)
+    assert nms_to_list(out)[0].shape == (0, 6)
+
+
+def test_nms_max_det_cap():
+    rng = np.random.default_rng(0)
+    n = 50
+    boxes = np.stack([rng.uniform(0, 600, n), rng.uniform(0, 600, n),
+                      rng.uniform(5, 10, n), rng.uniform(5, 10, n)], axis=1)
+    scores = rng.uniform(0.5, 1.0, (n, 1)).astype(np.float32)
+    out = non_max_suppression(make_pred(boxes.astype(np.float32), scores),
+                              conf_thres=0.25, max_det=10)
+    dets = nms_to_list(out)[0]
+    assert dets.shape[0] == 10
+    # sorted by score descending
+    assert np.all(np.diff(dets[:, 4]) <= 1e-6)
+
+
+def test_nms_xywh_to_xyxy_output():
+    boxes = np.array([[100, 100, 20, 40]], np.float32)
+    scores = np.array([[0.9]], np.float32)
+    out = non_max_suppression(make_pred(boxes, scores), conf_thres=0.25)
+    dets = nms_to_list(out)[0]
+    np.testing.assert_allclose(dets[0, :4], [90, 80, 110, 120], atol=1e-4)
+
+
+def test_pallas_backend_matches_xla():
+    rng = np.random.default_rng(1)
+    n = 64
+    boxes = np.stack([rng.uniform(0, 600, n), rng.uniform(0, 600, n),
+                      rng.uniform(10, 60, n), rng.uniform(10, 60, n)],
+                     axis=1).astype(np.float32)
+    scores = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    pred = make_pred(boxes, scores)
+    out_x = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
+                                max_det=20, backend="xla")
+    out_p = non_max_suppression(pred, conf_thres=0.25, iou_thres=0.45,
+                                max_det=20, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(out_x["valid"]),
+                                  np.asarray(out_p["valid"]))
+    np.testing.assert_allclose(np.asarray(out_x["boxes"]),
+                               np.asarray(out_p["boxes"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_x["classes"]),
+                                  np.asarray(out_p["classes"]))
+
+
+def test_nms_batched():
+    boxes = np.array([[50, 50, 20, 20]], np.float32)
+    s1 = np.array([[0.9]], np.float32)
+    s2 = np.array([[0.1]], np.float32)
+    pred = jnp.asarray(np.stack([
+        np.concatenate([boxes, s1], 1),
+        np.concatenate([boxes, s2], 1)]))
+    out = non_max_suppression(pred, conf_thres=0.25)
+    dets = nms_to_list(out)
+    assert dets[0].shape == (1, 6)
+    assert dets[1].shape == (0, 6)

@@ -1,0 +1,94 @@
+"""Batched COCO-style validation.
+
+Reference: src/yolo/eval/evaluator.py. Differences for TPU:
+
+- decode + NMS run **on device**, batched and jit-compiled (the reference
+  loops per image on the host through torchvision NMS);
+- only the fixed-shape (B, max_det, 6) NMS output crosses to the host;
+- GT comes from the loader's padded (B, M, 5) targets.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import jax
+import numpy as np
+
+from yolo_re_tpu.eval.metrics import compute_map
+from yolo_re_tpu.ops.nms import nms_to_list, non_max_suppression
+
+log = logging.getLogger(__name__)
+
+
+class Evaluator:
+    """mAP evaluation over a validation loader.
+
+    conf/iou thresholds match reference evaluator.py:38-39.
+    """
+
+    def __init__(
+        self,
+        model,
+        loader,
+        num_classes: int | None = None,
+        conf_thres: float = 0.001,
+        iou_thres: float = 0.6,
+        max_det: int = 300,
+    ):
+        self.model = model
+        self.loader = loader
+        self.num_classes = num_classes or model.num_classes
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+
+    def evaluate(self, params, stats) -> dict[str, float]:
+        pred_boxes, pred_scores, pred_classes = [], [], []
+        gt_boxes, gt_classes = [], []
+        t0 = time.perf_counter()
+        n_images = 0
+
+        for batch in self.loader:
+            images = batch["images"]
+            b, h, w = images.shape[0], images.shape[1], images.shape[2]
+            out = self.model.predict(params, stats, images)
+            decoded = out[0]
+            if isinstance(decoded, dict):  # dual head: evaluate main branch
+                decoded = decoded["main"]  # (reference: evaluator.py:105-113)
+            nms_out = non_max_suppression(
+                decoded, conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                max_det=self.max_det)
+            dets = nms_to_list(nms_out)
+
+            targets = np.asarray(batch["targets"])
+            nboxes = np.asarray(batch["nboxes"])
+            for i in range(b):
+                det = dets[i]
+                pred_boxes.append(det[:, :4])
+                pred_scores.append(det[:, 4])
+                pred_classes.append(det[:, 5].astype(np.int64))
+
+                n = int(nboxes[i])
+                t = targets[i, :n]
+                if n:
+                    cx, cy, bw, bh = (t[:, 1] * w, t[:, 2] * h,
+                                      t[:, 3] * w, t[:, 4] * h)
+                    boxes = np.stack([cx - bw / 2, cy - bh / 2,
+                                      cx + bw / 2, cy + bh / 2], axis=1)
+                    gt_boxes.append(boxes.astype(np.float32))
+                    gt_classes.append(t[:, 0].astype(np.int64))
+                else:
+                    gt_boxes.append(np.zeros((0, 4), np.float32))
+                    gt_classes.append(np.zeros((0,), np.int64))
+            n_images += b
+
+        results = compute_map(pred_boxes, pred_scores, pred_classes,
+                              gt_boxes, gt_classes, self.num_classes)
+        dt = time.perf_counter() - t0
+        results["images_per_sec"] = n_images / max(dt, 1e-9)
+        log.info("eval: %d images in %.1fs | mAP50 %.4f mAP75 %.4f mAP %.4f",
+                 n_images, dt, results["map50"], results["map75"],
+                 results["map"])
+        return results

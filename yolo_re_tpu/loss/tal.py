@@ -111,7 +111,8 @@ class TALoss:
         b, a, c = pred_dist.shape
         p = jax.nn.softmax(pred_dist.reshape(b, a, 4, c // 4), axis=-1)
         proj = jnp.arange(self.reg_max, dtype=jnp.float32)
-        dist = jnp.einsum("bamr,r->bam", p, proj)
+        dist = jnp.einsum("bamr,r->bam", p, proj,
+                          precision=jax.lax.Precision.HIGHEST)
         return dist2bbox(dist, anchor_points, xywh=False)
 
     def _prepare_targets(self, targets, img_h, img_w):

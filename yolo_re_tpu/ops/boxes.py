@@ -93,7 +93,8 @@ def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
     x = box_logits.reshape(*shape[:-1], 4, reg_max)
     p = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
     proj = jnp.arange(reg_max, dtype=jnp.float32)
-    return jnp.einsum("...b,b->...", p, proj)
+    return jnp.einsum("...b,b->...", p, proj,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------

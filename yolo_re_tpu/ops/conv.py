@@ -81,7 +81,15 @@ def conv2d(
     groups: int = 1,
     dilation: int = 1,
 ) -> jax.Array:
-    """2D convolution, NHWC x HWIO -> NHWC, f32 accumulation."""
+    """2D convolution, NHWC x HWIO -> NHWC, f32 accumulation.
+
+    Precision: DEFAULT precision feeds the MXU bf16 multiplicands even for
+    f32 operands (TPU semantics — and this environment's CPU backend
+    emulates it). For f32 inputs we request HIGHEST so the f32 path is
+    actually f32 (required for reference parity); bf16 inputs keep DEFAULT,
+    which is the fast MXU path.
+    """
+    precision = (lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
     return lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -90,6 +98,7 @@ def conv2d(
         rhs_dilation=(dilation, dilation),
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
         preferred_element_type=jnp.float32,
     )
 
@@ -207,11 +216,13 @@ def fold_conv_bn(params: Params, stats: Params) -> Params:
 # ---------------------------------------------------------------------------
 
 def max_pool2d(x: jax.Array, kernel: int, stride: int, padding: int) -> jax.Array:
-    """Max pool, NHWC."""
-    neg = jnp.asarray(-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-                      else jnp.iinfo(x.dtype).min, x.dtype)
+    """Max pool, NHWC.
+
+    Init value must be a Python scalar so lax.reduce_window dispatches to
+    its monoid-specialized (autodiff-supporting) primitive.
+    """
     return lax.reduce_window(
-        x, neg, lax.max,
+        x, -jnp.inf, lax.max,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
@@ -221,7 +232,7 @@ def max_pool2d(x: jax.Array, kernel: int, stride: int, padding: int) -> jax.Arra
 def avg_pool2d(x: jax.Array, kernel: int, stride: int, padding: int = 0) -> jax.Array:
     """Average pool (count includes padding-free window only for padding=0)."""
     s = lax.reduce_window(
-        x, jnp.asarray(0.0, x.dtype), lax.add,
+        x, 0.0, lax.add,
         window_dimensions=(1, kernel, kernel, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),

@@ -50,6 +50,7 @@ def _nms_single(
     boxes_off: jax.Array,   # (K, 4) xyxy, class-offset for suppression
     scores: jax.Array,      # (K,) confidence; invalid entries <= 0
     classes: jax.Array,     # (K,) int32
+    *,
     iou_thres: float,
     max_det: int,
 ):
@@ -78,8 +79,15 @@ def _nms_single(
     return out_boxes, out_scores, out_classes, out_valid
 
 
+def _default_backend() -> str:
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det",
-                                   "pre_topk", "agnostic"))
+                                   "pre_topk", "agnostic", "backend"))
 def non_max_suppression(
     predictions: jax.Array,
     conf_thres: float = 0.25,
@@ -87,11 +95,15 @@ def non_max_suppression(
     max_det: int = 300,
     pre_topk: int = 2048,
     agnostic: bool = False,
+    backend: str = "auto",
 ) -> dict[str, jax.Array]:
     """Batched NMS over (B, A, 4 + num_classes) decoded predictions.
 
     Boxes are xywh in pixels, class scores already sigmoided — the same
     contract as reference src/yolo/utils/nms.py:19-42.
+
+    backend: "pallas" (VMEM-resident greedy kernel, TPU), "xla" (lax.scan),
+    or "auto" (pallas on TPU, xla elsewhere).
 
     Returns dict of fixed-shape arrays:
         boxes   (B, max_det, 4) xyxy
@@ -101,8 +113,10 @@ def non_max_suppression(
     """
     num_anchors = predictions.shape[1]
     k = min(pre_topk, num_anchors)
+    if backend == "auto":
+        backend = _default_backend()
 
-    def per_image(pred):
+    def preselect(pred):
         boxes_xywh = pred[:, :4].astype(jnp.float32)
         cls_scores = pred[:, 4:].astype(jnp.float32)
         conf = jnp.max(cls_scores, axis=1)
@@ -116,14 +130,33 @@ def non_max_suppression(
             boxes_off = boxes
         else:
             boxes_off = boxes + (cls_k.astype(jnp.float32) * MAX_WH)[:, None]
-        return _nms_single(boxes, boxes_off, conf_k, cls_k, iou_thres, max_det)
+        return boxes, boxes_off, conf_k, cls_k
 
-    out_boxes, out_scores, out_classes, out_valid = jax.vmap(per_image)(predictions)
+    boxes, boxes_off, conf_k, cls_k = jax.vmap(preselect)(predictions)
+
+    if backend == "pallas":
+        from yolo_re_tpu.ops.pallas.nms_kernel import pallas_nms_select
+
+        sel_idx = pallas_nms_select(boxes_off, conf_k, iou_thres=iou_thres,
+                                    max_det=max_det)          # (B, max_det)
+        valid = sel_idx >= 0
+        gather = jnp.clip(sel_idx, 0, None)
+        out_boxes = jnp.take_along_axis(boxes, gather[..., None], axis=1)
+        out_scores = jnp.take_along_axis(conf_k, gather, axis=1)
+        out_classes = jnp.take_along_axis(cls_k, gather, axis=1)
+        out_boxes = jnp.where(valid[..., None], out_boxes, 0.0)
+        out_scores = jnp.where(valid, out_scores, 0.0)
+        out_classes = jnp.where(valid, out_classes, -1)
+    else:
+        out_boxes, out_scores, out_classes, valid = jax.vmap(
+            partial(_nms_single, iou_thres=iou_thres, max_det=max_det)
+        )(boxes, boxes_off, conf_k, cls_k)
+
     return {
         "boxes": out_boxes,
         "scores": out_scores,
         "classes": out_classes,
-        "valid": out_valid,
+        "valid": valid,
     }
 
 

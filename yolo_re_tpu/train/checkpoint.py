@@ -1,0 +1,79 @@
+"""Checkpoint save/load: full training state in one flat .npz.
+
+Reference policy (src/yolo/train/trainer.py:336-371): epoch, global_step,
+best_fitness, model/optimizer/EMA state + config in one file; best.pt on
+map50 improvement, epoch{N}.pt every save_period, last.pt at end. Same
+policy here, stored as numpy pytrees (framework-neutral, no pickle of
+code objects).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from yolo_re_tpu.convert.torch_import import flatten_tree, unflatten_tree
+
+_SECTIONS = ("params", "stats", "ema_params", "ema_stats", "opt")
+
+
+def save_checkpoint(
+    path: str | Path,
+    *,
+    params,
+    stats,
+    ema,
+    opt_bufs,
+    epoch: int,
+    global_step: int,
+    best_fitness: float,
+    config: dict | None = None,
+) -> None:
+    flat: dict[str, Any] = {}
+    for name, tree in (
+        ("params", params), ("stats", stats),
+        ("ema_params", ema["params"]), ("ema_stats", ema["stats"]),
+        ("opt", opt_bufs),
+    ):
+        for k, v in flatten_tree(tree).items():
+            flat[f"{name}/{k}"] = np.asarray(v)
+    flat["meta/epoch"] = np.int64(epoch)
+    flat["meta/global_step"] = np.int64(global_step)
+    flat["meta/best_fitness"] = np.float64(best_fitness)
+    flat["meta/ema_updates"] = np.asarray(ema["updates"])
+    flat["meta/config_json"] = np.frombuffer(
+        json.dumps(config or {}, default=str).encode(), dtype=np.uint8)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez(tmp, **flat)
+    tmp.replace(path)
+
+
+def load_checkpoint(path: str | Path) -> dict:
+    data = np.load(path)
+    sections: dict[str, dict] = {s: {} for s in _SECTIONS}
+    meta: dict[str, Any] = {}
+    for k in data.files:
+        head, _, rest = k.partition("/")
+        if head in sections:
+            sections[head][rest] = data[k]
+        elif head == "meta":
+            meta[rest] = data[k]
+    out = {name: unflatten_tree(tree) if tree else {}
+           for name, tree in sections.items()}
+    out["epoch"] = int(meta["epoch"])
+    out["global_step"] = int(meta["global_step"])
+    out["best_fitness"] = float(meta["best_fitness"])
+    out["ema"] = {
+        "params": out.pop("ema_params"),
+        "stats": out.pop("ema_stats"),
+        "updates": np.asarray(meta["ema_updates"]),
+    }
+    cfg_bytes = meta.get("config_json")
+    out["config"] = (json.loads(bytes(cfg_bytes).decode())
+                     if cfg_bytes is not None and len(cfg_bytes) else {})
+    return out

@@ -1,0 +1,282 @@
+"""The training loop — one jitted, sharded train step + host orchestration.
+
+Reference: src/yolo/train/trainer.py. The rebuild keeps its surface
+(Trainer(model, data, config, loss_fn=None, **overrides).train()) and its
+policy (loss from detect-head introspection, SGD over three param groups,
+per-step warmup, EMA validation, best/epochN/last checkpoints) but the
+whole inner loop is a single donated jit program:
+
+    forward (train-mode BN) -> TAL loss -> grads -> global-norm clip ->
+    grouped SGD with traced schedule -> EMA blend -> new state
+
+Under data parallelism the batch is sharded over a 1-D mesh; XLA inserts
+the gradient psums and makes the BN batch reductions global (SyncBatchNorm
+semantics). bf16 compute is a config flag — no GradScaler needed on TPU.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_re_tpu.data.config import DataConfig
+from yolo_re_tpu.data.dataset import DataLoader, create_dataloader
+from yolo_re_tpu.eval.evaluator import Evaluator
+from yolo_re_tpu.loss.tal import LossConfig, TALoss
+from yolo_re_tpu.models.heads import DetectDFLConfig, DualDetectDFLConfig
+from yolo_re_tpu.models.yolo import YOLO
+from yolo_re_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to,
+    replicate_tree,
+    shard_batch,
+)
+from yolo_re_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from yolo_re_tpu.train.config import TrainConfig
+from yolo_re_tpu.train.ema import ema_update, init_ema
+from yolo_re_tpu.train.optimizer import (
+    clip_by_global_norm,
+    init_sgd_state,
+    sgd_step,
+)
+from yolo_re_tpu.train.schedule import WarmupCosineSchedule
+
+log = logging.getLogger(__name__)
+
+
+def detect_info(model: YOLO) -> tuple[int, int, tuple[float, ...], bool]:
+    """(num_classes, reg_max, strides, is_dual) from the plan's head config
+    (reference introspects modules at runtime, trainer.py:170-191)."""
+    for step in model.plan.steps:
+        if isinstance(step.cfg, DualDetectDFLConfig):
+            return (step.cfg.num_classes, step.cfg.reg_max, step.cfg.strides,
+                    True)
+        if isinstance(step.cfg, DetectDFLConfig):
+            return (step.cfg.num_classes, step.cfg.reg_max, step.cfg.strides,
+                    False)
+    raise ValueError("Model has no detect head")
+
+
+class Trainer:
+    """End-to-end trainer (reference: src/yolo/train/trainer.py:34-371)."""
+
+    def __init__(
+        self,
+        model: YOLO,
+        data: DataConfig | None = None,
+        config: TrainConfig | None = None,
+        loss_fn=None,
+        loss_config: LossConfig | None = None,
+        train_loader: DataLoader | None = None,
+        val_loader: DataLoader | None = None,
+        params=None,
+        stats=None,
+        **overrides: Any,
+    ):
+        self.model = model
+        self.config = config or TrainConfig()
+        for k, v in overrides.items():  # kwargs override any config field
+            if hasattr(self.config, k):
+                setattr(self.config, k, v)
+            else:
+                raise TypeError(f"Unknown TrainConfig field {k!r}")
+
+        logging.basicConfig(
+            level=logging.INFO, format="%(asctime)s | %(message)s")
+
+        nc, reg_max, strides, self.is_dual = detect_info(model)
+        self.loss_fn = loss_fn or TALoss(nc, reg_max, strides,
+                                         loss_config or LossConfig())
+
+        if train_loader is None:
+            assert data is not None and data.train_path, \
+                "either data.train_path or train_loader is required"
+            train_loader = create_dataloader(data.train_path, data, "train")
+        self.train_loader = train_loader
+        if val_loader is None and data is not None and data.val_path:
+            val_loader = create_dataloader(data.val_path, data, "val")
+        self.val_loader = val_loader
+
+        # -- state ----------------------------------------------------------
+        if params is None or stats is None:
+            params, stats = model.init(jax.random.key(self.config.seed))
+        self.params, self.stats = params, stats
+        self.labels = model.param_labels(params)
+        self.opt_bufs = init_sgd_state(params)
+        self.ema = init_ema(params, stats)
+
+        steps_per_epoch = max(len(self.train_loader), 1)
+        self.schedule = WarmupCosineSchedule(
+            base_lr=self.config.lr,
+            total_steps=self.config.epochs * steps_per_epoch,
+            warmup_steps=int(self.config.warmup_epochs * steps_per_epoch),
+            warmup_momentum=self.config.warmup_momentum,
+            base_momentum=self.config.momentum,
+            warmup_bias_lr=self.config.warmup_bias_lr,
+            lrf=self.config.lrf,
+        )
+
+        # -- mesh ------------------------------------------------------------
+        self.mesh = None
+        if self.config.data_parallel and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+            self.params = replicate_tree(self.params, self.mesh)
+            self.stats = replicate_tree(self.stats, self.mesh)
+            self.opt_bufs = replicate_tree(self.opt_bufs, self.mesh)
+            self.ema = replicate_tree(self.ema, self.mesh)
+            log.info("data parallel over %d devices", self.mesh.size)
+
+        self.global_step = 0
+        self.start_epoch = 0
+        self.best_fitness = 0.0
+        self._compute_dtype = jnp.bfloat16 \
+            if self.config.compute_dtype == "bfloat16" else jnp.float32
+        self._train_step = self._build_train_step()
+
+    # -- jitted step ---------------------------------------------------------
+
+    def _build_train_step(self):
+        model, loss_fn = self.model, self.loss_fn
+        schedule, labels = self.schedule, self.labels
+        cfg = self.config
+        compute_dtype = self._compute_dtype
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+        def train_step(params, stats, opt_bufs, ema, images, targets, step):
+            images = images.astype(compute_dtype)
+
+            def objective(p):
+                preds, new_stats = model.apply(p, stats, images, train=True)
+                total, items = loss_fn(preds, targets)
+                return total, (new_stats, items)
+
+            (loss, (new_stats, items)), grads = jax.value_and_grad(
+                objective, has_aux=True)(params)
+            grads, gnorm = clip_by_global_norm(grads, cfg.grad_clip_norm)
+            lr, bias_lr, momentum = schedule(step)
+            params, opt_bufs = sgd_step(
+                params, grads, opt_bufs, labels,
+                lr=lr, bias_lr=bias_lr, momentum=momentum,
+                weight_decay=cfg.weight_decay)
+            ema = ema_update(ema, params, new_stats,
+                             decay=cfg.ema_decay, tau=cfg.ema_tau)
+            return params, new_stats, opt_bufs, ema, loss, items, gnorm
+
+        return train_step
+
+    # -- epochs --------------------------------------------------------------
+
+    def train_one_epoch(self, epoch: int) -> np.ndarray:
+        self.train_loader.set_epoch(epoch)
+        cfg = self.config
+        t0 = time.perf_counter()
+        mean_items = np.zeros(3)
+        n_batches = 0
+        n_images = 0
+
+        for batch in self.train_loader:
+            images, targets = batch["images"], batch["targets"]
+            if self.mesh is not None:
+                n = self.mesh.size
+                b = images.shape[0]
+                if b % n:
+                    padded = pad_batch_to(
+                        {"images": images, "targets": targets},
+                        ((b + n - 1) // n) * n)
+                    images, targets = padded["images"], padded["targets"]
+                sharded = shard_batch(
+                    {"images": images, "targets": targets}, self.mesh)
+                images, targets = sharded["images"], sharded["targets"]
+
+            (self.params, self.stats, self.opt_bufs, self.ema,
+             loss, items, gnorm) = self._train_step(
+                self.params, self.stats, self.opt_bufs, self.ema,
+                images, targets, np.int32(self.global_step))
+            self.global_step += 1
+            n_batches += 1
+            n_images += batch["images"].shape[0]
+
+            if n_batches % cfg.log_interval == 0 or n_batches == 1:
+                items_h = np.asarray(items)
+                log.info(
+                    "epoch %d step %d | box %.4f cls %.4f dfl %.4f | %.1f img/s",
+                    epoch, self.global_step, items_h[0], items_h[1],
+                    items_h[2], n_images / (time.perf_counter() - t0))
+            mean_items += np.asarray(items)
+
+        dt = time.perf_counter() - t0
+        mean_items /= max(n_batches, 1)
+        log.info("epoch %d done in %.1fs (%.1f img/s) | box %.4f cls %.4f dfl %.4f",
+                 epoch, dt, n_images / max(dt, 1e-9), *mean_items)
+        return mean_items
+
+    def validate(self) -> dict[str, float]:
+        """Validate on EMA weights (reference: trainer.py:315-334)."""
+        if self.val_loader is None:
+            return {}
+        evaluator = Evaluator(self.model, self.val_loader)
+        return evaluator.evaluate(self.ema["params"], self.ema["stats"])
+
+    def train(self) -> dict[str, float]:
+        cfg = self.config
+        out_dir = Path(cfg.output_dir)
+        results: dict[str, float] = {}
+        for epoch in range(self.start_epoch, cfg.epochs):
+            self.train_one_epoch(epoch)
+
+            if self.val_loader is not None and cfg.val_period > 0 \
+                    and (epoch + 1) % cfg.val_period == 0:
+                results = self.validate()
+                fitness = results.get("map50", 0.0)
+                if fitness > self.best_fitness:
+                    self.best_fitness = fitness
+                    self._save(out_dir / "best.npz", epoch)
+                    log.info("new best map50 %.4f -> best.npz", fitness)
+
+            if cfg.save_period > 0 and (epoch + 1) % cfg.save_period == 0:
+                self._save(out_dir / f"epoch{epoch}.npz", epoch)
+
+        self._save(out_dir / "last.npz", cfg.epochs - 1)
+        return results
+
+    # -- checkpointing -------------------------------------------------------
+
+    def _save(self, path: Path, epoch: int) -> None:
+        save_checkpoint(
+            path,
+            params=jax.device_get(self.params),
+            stats=jax.device_get(self.stats),
+            ema=jax.device_get(self.ema),
+            opt_bufs=jax.device_get(self.opt_bufs),
+            epoch=epoch,
+            global_step=self.global_step,
+            best_fitness=self.best_fitness,
+            config=vars(self.config),
+        )
+
+    def load_checkpoint(self, path: str | Path) -> None:
+        """Full resume (reference: trainer.py:355-371)."""
+        ckpt = load_checkpoint(path)
+        self.params = ckpt["params"]
+        self.stats = ckpt["stats"]
+        self.opt_bufs = ckpt["opt"]
+        self.ema = {
+            "params": ckpt["ema"]["params"],
+            "stats": ckpt["ema"]["stats"],
+            "updates": jnp.asarray(ckpt["ema"]["updates"]),
+        }
+        self.global_step = ckpt["global_step"]
+        self.best_fitness = ckpt["best_fitness"]
+        self.start_epoch = ckpt["epoch"] + 1
+        if self.mesh is not None:
+            self.params = replicate_tree(self.params, self.mesh)
+            self.stats = replicate_tree(self.stats, self.mesh)
+            self.opt_bufs = replicate_tree(self.opt_bufs, self.mesh)
+            self.ema = replicate_tree(self.ema, self.mesh)

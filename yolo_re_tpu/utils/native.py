@@ -1,0 +1,99 @@
+"""ctypes bindings for the native host runtime (native/yolo_host.cpp).
+
+Provides the framework's own native equivalents of the reference's native
+dependencies (OpenCV resize/letterbox, torchvision NMS — SURVEY §2.1).
+Loads `native/libyolo_host.so`; callers fall back to the numpy/cv2 paths
+when the library hasn't been built (`make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = (Path(__file__).resolve().parent.parent.parent
+            / "native" / "libyolo_host.so")
+    if not path.exists():
+        return None
+    lib = ctypes.CDLL(str(path))
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    c = ctypes.c_int
+    cf = ctypes.c_float
+
+    lib.resize_bilinear_u8.argtypes = [u8p, c, c, c, u8p, c, c]
+    lib.letterbox_u8.argtypes = [u8p, c, c, c, u8p, c, c, ctypes.c_uint8,
+                                 c, f32p, f32p]
+    lib.nms_f32.argtypes = [f32p, f32p, c, cf, c, i32p]
+    lib.nms_f32.restype = c
+    lib.hsv_augment_u8.argtypes = [u8p, c, c, cf, cf, cf]
+    lib.blit_u8.argtypes = [u8p, c, c, u8p, c, c, c, c, c, c, c, c]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    lib = _lib()
+    assert lib is not None
+    img = np.ascontiguousarray(img)
+    h, w, ch = img.shape
+    out = np.empty((out_h, out_w, ch), np.uint8)
+    lib.resize_bilinear_u8(img, h, w, ch, out, out_h, out_w)
+    return out
+
+
+def letterbox(img: np.ndarray, out_h: int, out_w: int,
+              pad_value: int = 114, scaleup: bool = True):
+    """Native letterbox; returns (canvas, (rw, rh), (dw, dh)) matching the
+    numpy implementation's contract (data/augment.py)."""
+    lib = _lib()
+    assert lib is not None
+    img = np.ascontiguousarray(img)
+    h, w, ch = img.shape
+    out = np.empty((out_h, out_w, ch), np.uint8)
+    ratio = np.zeros(2, np.float32)
+    pad = np.zeros(2, np.float32)
+    lib.letterbox_u8(img, h, w, ch, out, out_h, out_w, pad_value,
+                     int(scaleup), ratio, pad)
+    return out, (float(ratio[0]), float(ratio[1])), (float(pad[0]),
+                                                     float(pad[1]))
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_thres: float,
+        max_det: int = 300) -> np.ndarray:
+    """Greedy NMS; returns kept indices, score-descending."""
+    lib = _lib()
+    assert lib is not None
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    keep = np.empty(min(len(boxes), max_det), np.int32)
+    n = lib.nms_f32(boxes, scores, len(boxes), iou_thres, max_det, keep)
+    return keep[:n].copy()
+
+
+def hsv_augment(img: np.ndarray, h_mul: float, s_mul: float,
+                v_mul: float) -> np.ndarray:
+    """In-place HSV gain augmentation on BGR uint8."""
+    lib = _lib()
+    assert lib is not None
+    assert img.flags["C_CONTIGUOUS"]
+    h, w, _ = img.shape
+    lib.hsv_augment_u8(img, h, w, h_mul, s_mul, v_mul)
+    return img

@@ -1,0 +1,39 @@
+"""JAX platform selection that actually works in this environment.
+
+The TPU here is attached through an external PJRT plugin that registers as
+platform 'tpu' and wins device selection regardless of the JAX_PLATFORMS
+environment variable. `jax.config.update("jax_platforms", ...)` *is*
+honored (until the backend initializes), so platform forcing must go
+through the config API, before any jax computation.
+
+Scripts call `select_platform()` first thing; users set
+YOLO_JAX_PLATFORM=cpu (or pass platform="cpu") for host-side runs like
+parity checks.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def select_platform(platform: str | None = None) -> None:
+    """Force the JAX platform via the config API.
+
+    Priority: explicit arg > YOLO_JAX_PLATFORM env > JAX_PLATFORMS env when
+    it names a standard backend (cpu/gpu/tpu) > leave default.
+    """
+    import jax
+
+    if platform is None:
+        platform = os.environ.get("YOLO_JAX_PLATFORM")
+    if platform is None:
+        env = os.environ.get("JAX_PLATFORMS", "")
+        if env in ("cpu", "gpu", "tpu"):
+            platform = env
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/jax_comp_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
