@@ -131,7 +131,7 @@ class RepConv:
                        groups=cfg.groups)
             y = y + params["fused"]["b"].astype(y.dtype)
             from yolo_re_tpu.ops.conv import get_activation
-            return get_activation(cfg.activation)(y), stats
+            return get_activation(cfg.activation)(y).astype(x.dtype), stats
         y1, s1 = conv_bn_act(params["conv1"], stats["conv1"], x,
                              stride=cfg.stride, padding=1, groups=cfg.groups,
                              act="none", train=train)
@@ -464,7 +464,7 @@ class CBLinear:
         y = conv2d(x, params["w"], stride=cfg.stride,
                    padding=autopad(cfg.kernel_size, cfg.padding),
                    groups=cfg.groups)
-        y = y + params["b"].astype(y.dtype)
+        y = (y + params["b"].astype(y.dtype)).astype(x.dtype)
         outs = []
         start = 0
         for c in cfg.out_channels_list:

@@ -167,19 +167,26 @@ def conv_bn_act(
     semantics for free — the design item SURVEY §2.2 calls out.
 
     If params contains a fused bias 'b' (from `fold_conv_bn`), BN is skipped.
+
+    Output dtype == input dtype: the conv accumulates f32 internally, but
+    activations stay in the compute dtype (bf16 in, bf16 out) — otherwise a
+    bf16 network silently becomes an f32 one after the first layer.
     """
+    in_dtype = x.dtype
     y = conv2d(x, params["w"], stride=stride, padding=padding, groups=groups,
                dilation=dilation)
 
     if "b" in params:  # inference-fused path
         y = y + params["b"].astype(y.dtype)
-        return get_activation(act)(y), stats
+        return get_activation(act)(y).astype(in_dtype), stats
 
     assert stats is not None
     if train:
         yf = y.astype(jnp.float32)
         mean = jnp.mean(yf, axis=(0, 1, 2))
-        var = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(mean)
+        # Two-pass variance: E[(x-mean)^2] — the one-pass E[x^2]-E[x]^2 form
+        # cancels catastrophically in f32 and costs ~1e-3 parity vs torch.
+        var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
         n = yf.shape[0] * yf.shape[1] * yf.shape[2]
         # torch updates running_var with the *unbiased* batch variance.
         unbiased = var * (n / max(n - 1, 1))
@@ -193,7 +200,7 @@ def conv_bn_act(
 
     inv = lax.rsqrt(var + BN_EPS) * params["scale"]
     y = y * inv.astype(y.dtype) + (params["bias"] - mean * inv).astype(y.dtype)
-    return get_activation(act)(y), new_stats
+    return get_activation(act)(y).astype(in_dtype), new_stats
 
 
 def fold_conv_bn(params: Params, stats: Params) -> Params:
