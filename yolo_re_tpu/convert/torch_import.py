@@ -184,12 +184,23 @@ def load_torch_checkpoint(path: str) -> SD:
 # Pytree (de)serialization: flat npz with '/'-joined keys
 # ---------------------------------------------------------------------------
 
+# Sentinels keep empty containers (parameter-free layers, padding entries
+# inside lists) through the flat-npz round trip — without them the tree
+# structure shrinks on load and no longer lines up with the model plan.
+_EMPTY_DICT = "__empty_dict__"
+_EMPTY_LIST = "__empty_list__"
+
+
 def flatten_tree(tree: Any, prefix: str = "") -> dict[str, Array]:
     out: dict[str, Array] = {}
     if isinstance(tree, dict):
+        if not tree:
+            out[f"{prefix}{_EMPTY_DICT}"] = np.zeros(0, np.uint8)
         for k, v in tree.items():
             out.update(flatten_tree(v, f"{prefix}{k}/"))
     elif isinstance(tree, (list, tuple)):
+        if not tree:
+            out[f"{prefix}{_EMPTY_LIST}"] = np.zeros(0, np.uint8)
         for i, v in enumerate(tree):
             out.update(flatten_tree(v, f"{prefix}{i}/"))
     else:
@@ -204,11 +215,18 @@ def unflatten_tree(flat: dict[str, Array]) -> Any:
         node = root
         for part in parts[:-1]:
             node = node.setdefault(part, {})
+        if parts[-1] == _EMPTY_DICT:
+            continue  # navigation already created the empty dict
+        if parts[-1] == _EMPTY_LIST:
+            node[_EMPTY_LIST] = True
+            continue
         node[parts[-1]] = value
 
     def listify(node):
         if not isinstance(node, dict):
             return node
+        if node.get(_EMPTY_LIST) is True and len(node) == 1:
+            return []
         if node and all(k.isdigit() for k in node):
             return [listify(node[str(i)]) for i in range(len(node))]
         return {k: listify(v) for k, v in node.items()}

@@ -134,5 +134,6 @@ def fuse_model(plan: Plan, params: Params, stats: Params) -> tuple[Params, Param
     out_p, out_s = {}, {}
     for step in plan.steps:
         out_p[step.name], out_s[step.name] = _fuse(
-            step.block, step.cfg, params[step.name], stats[step.name])
+            step.block, step.cfg, params.get(step.name, {}),
+            stats.get(step.name, {}))
     return out_p, out_s

@@ -114,8 +114,11 @@ class YOLO:
             # Detect heads always take a list of feature maps.
             if step.name == self.plan.detect_name and not isinstance(inp, list):
                 inp = [inp]
-            out, s = step.block.apply(step.cfg, params[step.name],
-                                      stats[step.name], inp, train=train)
+            # .get: parameter-free layers (Concat/Upsample/...) serialize to
+            # nothing in npz checkpoints and may be absent after load.
+            out, s = step.block.apply(step.cfg, params.get(step.name, {}),
+                                      stats.get(step.name, {}), inp,
+                                      train=train)
             new_stats[step.name] = s
             if step.name in self._save_names or step.name == last:
                 outputs[step.name] = out
