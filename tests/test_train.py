@@ -140,3 +140,23 @@ def test_trainer_loss_decreases(tiny_model_path, synthetic_dataset):
         last = trainer.train_one_epoch(e)
     assert np.all(np.isfinite(last))
     assert last.sum() < first.sum()
+
+
+def test_trainer_device_augment(tiny_model_path, synthetic_dataset):
+    """Device-side HSV/flip path: one epoch runs, host aug stages zeroed."""
+    from yolo_re_tpu.data.config import AugmentConfig, DataConfig
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.train.trainer import Trainer
+
+    model = YOLO.from_yaml(tiny_model_path)
+    data = DataConfig(train_path=synthetic_dataset, num_classes=8,
+                      img_size=64, batch_size=4, workers=2, max_boxes=16,
+                      augment=AugmentConfig("full"))
+    trainer = Trainer(model, data=data, epochs=1, data_parallel=False,
+                      device_augment=True,
+                      output_dir="/tmp/yolo_tpu_test_devaug")
+    assert trainer._device_aug is not None
+    assert trainer._device_aug["flip_lr"] == 0.5
+    items = trainer.train_one_epoch(0)
+    import numpy as np
+    assert np.all(np.isfinite(items))

@@ -35,6 +35,7 @@ class TrainConfig:
 
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
     data_parallel: bool = True       # shard batch over all local devices
+    device_augment: bool = False     # HSV/flip inside the jitted train step
     grad_clip_norm: float = 10.0
 
     ema_decay: float = 0.9999

@@ -95,6 +95,21 @@ class Trainer:
         self.loss_fn = loss_fn or TALoss(nc, reg_max, strides,
                                          loss_config or LossConfig())
 
+        # Device-side augmentation: HSV + flips move into the jitted train
+        # step (off the host); the host pipeline keeps mosaic/perspective
+        # with its HSV/flip stages disabled.
+        self._device_aug = None
+        if self.config.device_augment and data is not None:
+            aug = data.augment
+            self._device_aug = dict(hsv_h=aug.hsv_h, hsv_s=aug.hsv_s,
+                                    hsv_v=aug.hsv_v, flip_lr=aug.flip_lr,
+                                    flip_ud=aug.flip_ud)
+            import copy
+
+            data = copy.deepcopy(data)
+            for f in ("hsv_h", "hsv_s", "hsv_v", "flip_lr", "flip_ud"):
+                setattr(data.augment, f, 0.0)
+
         if train_loader is None:
             assert data is not None and data.train_path, \
                 "either data.train_path or train_loader is required"
@@ -148,8 +163,17 @@ class Trainer:
         cfg = self.config
         compute_dtype = self._compute_dtype
 
+        device_aug = self._device_aug
+        aug_key = jax.random.key(cfg.seed + 1)
+
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def train_step(params, stats, opt_bufs, ema, images, targets, step):
+            if device_aug is not None:
+                from yolo_re_tpu.data.device_pipeline import augment_batch
+
+                key = jax.random.fold_in(aug_key, step)
+                images, targets = augment_batch(images, targets, key,
+                                                **device_aug)
             images = images.astype(compute_dtype)
 
             def objective(p):
