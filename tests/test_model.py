@@ -110,3 +110,21 @@ def test_programmatic_config():
     x = jnp.zeros((1, 64, 64, 3))
     raw, _ = model.apply(params, stats, x, train=True)
     assert len(raw) == 3
+
+
+def test_dual_model_builds_and_forwards(tiny_dual_model_path):
+    """yolov9-style dual graph: aux branch, CBLinear/CBFuse, dual head."""
+    model = YOLO.from_yaml(tiny_dual_model_path)
+    assert model.strides == (8.0, 16.0, 32.0)
+    params, stats = model.init(jax.random.key(0))
+    x = jnp.zeros((1, 64, 64, 3))
+    raw, _ = model.apply(params, stats, x, train=True)
+    assert set(raw) == {"aux", "main"}
+    assert [r.shape for r in raw["main"]] == [
+        (1, 8, 8, 72), (1, 4, 4, 72), (1, 2, 2, 72)]
+    (decoded, raw2), _ = model.apply(params, stats, x, train=False)
+    assert decoded["main"].shape == (1, 84, 12)
+    # fusion works through the dual graph
+    fp, fs = model.fuse(params, stats)
+    (dec_f, _), _ = model.apply(fp, fs, x, train=False)
+    assert dec_f["main"].shape == (1, 84, 12)

@@ -160,3 +160,21 @@ def test_trainer_device_augment(tiny_model_path, synthetic_dataset):
     items = trainer.train_one_epoch(0)
     import numpy as np
     assert np.all(np.isfinite(items))
+
+
+def test_trainer_dual_head(tiny_dual_model_path, synthetic_dataset):
+    """Dual-head training end-to-end: aux weighted loss, one epoch runs
+    (BASELINE config #5 smoke)."""
+    from yolo_re_tpu.data.config import AugmentConfig, DataConfig
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.train.trainer import Trainer
+
+    model = YOLO.from_yaml(tiny_dual_model_path)
+    data = DataConfig(train_path=synthetic_dataset, num_classes=8,
+                      img_size=64, batch_size=4, workers=2, max_boxes=16,
+                      augment=AugmentConfig("minimal"))
+    trainer = Trainer(model, data=data, epochs=1, data_parallel=False,
+                      output_dir="/tmp/yolo_tpu_test_dual")
+    assert trainer.is_dual
+    items = trainer.train_one_epoch(0)
+    assert np.all(np.isfinite(items))

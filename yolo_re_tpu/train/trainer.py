@@ -253,7 +253,7 @@ class Trainer:
         out_dir = Path(cfg.output_dir)
         results: dict[str, float] = {}
         for epoch in range(self.start_epoch, cfg.epochs):
-            self.train_one_epoch(epoch)
+            items = self.train_one_epoch(epoch)
 
             if self.val_loader is not None and cfg.val_period > 0 \
                     and (epoch + 1) % cfg.val_period == 0:
@@ -264,11 +264,35 @@ class Trainer:
                     self._save(out_dir / "best.npz", epoch)
                     log.info("new best map50 %.4f -> best.npz", fitness)
 
+            self._log_metrics(out_dir, epoch, items, results)
+
             if cfg.save_period > 0 and (epoch + 1) % cfg.save_period == 0:
                 self._save(out_dir / f"epoch{epoch}.npz", epoch)
 
         self._save(out_dir / "last.npz", cfg.epochs - 1)
         return results
+
+    def _log_metrics(self, out_dir: Path, epoch: int, items,
+                     results: dict[str, float]) -> None:
+        """Append one JSONL record per epoch (observability the reference
+        limits to stdout prints, SURVEY §5)."""
+        import json
+
+        out_dir.mkdir(parents=True, exist_ok=True)
+        lr, bias_lr, momentum = (float(v) for v in
+                                 self.schedule(self.global_step))
+        record = {
+            "epoch": epoch,
+            "global_step": self.global_step,
+            "box_loss": float(items[0]),
+            "cls_loss": float(items[1]),
+            "dfl_loss": float(items[2]),
+            "lr": lr,
+            "momentum": momentum,
+            **{f"val_{k}": float(v) for k, v in results.items()},
+        }
+        with open(out_dir / "metrics.jsonl", "a") as f:
+            f.write(json.dumps(record) + "\n")
 
     # -- checkpointing -------------------------------------------------------
 
