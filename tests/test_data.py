@@ -181,3 +181,21 @@ def test_data_config_yaml(tmp_path):
     assert cfg.train_path == "/x/images"
     assert cfg.num_classes == 3
     assert cfg.img_size == 320
+
+
+def test_rect_loader_batches(synthetic_dataset):
+    """Rect mode: per-batch stride-aligned shapes, labels letterboxed."""
+    ds = YOLODataset(synthetic_dataset, img_size=64, rect=True, batch_size=4)
+    loader = DataLoader(ds, batch_size=4, max_boxes=16, shuffle=False,
+                        workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    for bi, b in enumerate(batches):
+        h, w = b["images"].shape[1:3]
+        assert h % ds.stride == 0 and w % ds.stride == 0
+        expect = ds.batch_shapes[bi]
+        assert (h, w) == (expect[0], expect[1])
+        # labels normalized to the rect canvas
+        n = int(b["nboxes"].max())
+        assert n >= 1
+        assert b["targets"][..., 1:5].max() <= 1.0 + 1e-6

@@ -97,3 +97,16 @@ def test_compute_map_empty_preds():
         num_classes=1,
     )
     assert results["map50"] == 0.0
+
+
+def test_evaluator_rect_and_bf16(tiny_model, synthetic_dataset):
+    """Evaluator handles non-square rect batches and bf16 compute."""
+    from yolo_re_tpu.data.dataset import DataLoader, YOLODataset
+    from yolo_re_tpu.eval.evaluator import Evaluator
+
+    model, params, stats = tiny_model
+    ds = YOLODataset(synthetic_dataset, img_size=64, rect=True, batch_size=4)
+    loader = DataLoader(ds, batch_size=4, max_boxes=16, workers=2)
+    ev = Evaluator(model, loader, compute_dtype="bfloat16")
+    results = ev.evaluate(params, stats)
+    assert "map50" in results and np.isfinite(results["map50"])

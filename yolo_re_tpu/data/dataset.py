@@ -245,6 +245,24 @@ class YOLODataset:
         img, (h0, w0), _ = self._load_image(idx)
         sample = Sample(img=img, labels=self.labels[idx].copy(),
                         img_size=self.img_size, original_shape=(h0, w0))
+        if self.rect and hasattr(self, "batch_shapes"):
+            # Rect mode: letterbox to this batch's stride-aligned shape
+            # (reference: dataset.py:183-216). Bypasses self.transforms.
+            from yolo_re_tpu.data.augment import letterbox, xywhn2xyxy, \
+                xyxy2xywhn
+
+            shape = self.batch_shapes[self.batch_index[idx]]
+            h, w = img.shape[:2]
+            img, ratio, pad = letterbox(img, (int(shape[0]), int(shape[1])),
+                                        auto=False, scaleup=False)
+            labels = sample.labels
+            if len(labels):
+                labels = labels.copy()
+                labels[:, 1:5] = xywhn2xyxy(labels[:, 1:5], ratio[0] * w,
+                                            ratio[1] * h, pad[0], pad[1])
+                labels[:, 1:5] = xyxy2xywhn(labels[:, 1:5], img.shape[1],
+                                            img.shape[0], clip=True)
+            return Sample(img, labels, self.img_size, (h0, w0))
         if self.transforms is not None:
             sample = self.transforms(sample, rng)
         return sample

@@ -36,6 +36,7 @@ class Evaluator:
         conf_thres: float = 0.001,
         iou_thres: float = 0.6,
         max_det: int = 300,
+        compute_dtype: str = "float32",
     ):
         self.model = model
         self.loader = loader
@@ -43,15 +44,20 @@ class Evaluator:
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
         self.max_det = max_det
+        self.compute_dtype = compute_dtype
 
     def evaluate(self, params, stats) -> dict[str, float]:
+        import jax.numpy as jnp
+
         pred_boxes, pred_scores, pred_classes = [], [], []
         gt_boxes, gt_classes = [], []
         t0 = time.perf_counter()
         n_images = 0
+        dtype = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                 else jnp.float32)
 
         for batch in self.loader:
-            images = batch["images"]
+            images = jnp.asarray(batch["images"], dtype=dtype)
             b, h, w = images.shape[0], images.shape[1], images.shape[2]
             out = self.model.predict(params, stats, images)
             decoded = out[0]
