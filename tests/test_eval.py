@@ -110,3 +110,22 @@ def test_evaluator_rect_and_bf16(tiny_model, synthetic_dataset):
     ev = Evaluator(model, loader, compute_dtype="bfloat16")
     results = ev.evaluate(params, stats)
     assert "map50" in results and np.isfinite(results["map50"])
+
+
+def test_serving_detector(tiny_model, synthetic_dataset):
+    """End-to-end serving pipeline: uint8 batch -> padded detections."""
+    from yolo_re_tpu.serving import Detector
+
+    model, params, stats = tiny_model
+    det = Detector(model, params, stats, img_size=64, conf_thres=0.001,
+                   compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (2, 48, 80, 3), dtype=np.uint8)
+    out = det(frames)
+    assert out["boxes"].shape == (2, 300, 4)
+    assert out["valid"].shape == (2, 300)
+    dets = det.to_list(out, [(48, 80), (48, 80)])
+    for d in dets:
+        assert d.shape[1] == 6
+        if len(d):
+            assert d[:, 0].min() >= 0 and d[:, 2].max() <= 80

@@ -1,0 +1,112 @@
+"""Production serving: one jit program from raw pixels to detections.
+
+The reference's inference path is a host pipeline (cv2 letterbox -> torch
+forward -> host NMS, scripts/detect.py). Here the WHOLE pipeline is a
+single XLA program on the chip:
+
+    uint8 (B, H, W, 3) RGB -> device letterbox (matmul resize + pad)
+    -> fused (BN/RepConv-folded) bf16 forward -> DFL decode
+    -> class-aware fixed-shape NMS -> (B, max_det, 6) + validity
+
+Only the raw camera bytes go up and the padded detections come back; the
+single-core host does no image math. Programs are cached per input shape
+(shape buckets — SURVEY §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+from yolo_re_tpu.models.yolo import YOLO
+from yolo_re_tpu.ops.nms import non_max_suppression
+
+
+class Detector:
+    """End-to-end detector over fused weights.
+
+    Example:
+        det = Detector.from_checkpoint(model, "best.npz")
+        out = det(frames_u8)            # dict of padded arrays
+        dets = det.to_list(out, original_shapes)  # per-image (n, 6) numpy
+    """
+
+    def __init__(self, model: YOLO, params: Any, stats: Any, *,
+                 img_size: int = 640, conf_thres: float = 0.25,
+                 iou_thres: float = 0.45, max_det: int = 300,
+                 compute_dtype: str = "bfloat16", fuse: bool = True):
+        import jax.numpy as jnp
+
+        if fuse:
+            params, stats = model.fuse(params, stats)
+        import jax
+
+        self.model = model
+        self.params = jax.device_put(params)
+        self.stats = jax.device_put(stats)
+        self.img_size = img_size
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_det = max_det
+        self.dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                      else jnp.float32)
+        self._pipeline = self._build()
+
+    @classmethod
+    def from_checkpoint(cls, model: YOLO, path: str, **kwargs) -> "Detector":
+        from yolo_re_tpu.convert.torch_import import load_params
+        from yolo_re_tpu.train.checkpoint import load_checkpoint
+
+        try:
+            params, stats = load_params(path)
+        except Exception:
+            ckpt = load_checkpoint(path)
+            params, stats = ckpt["ema"]["params"], ckpt["ema"]["stats"]
+        return cls(model, params, stats, **kwargs)
+
+    def _build(self):
+        import jax
+
+        from yolo_re_tpu.data.device_pipeline import batched_letterbox
+
+        @partial(jax.jit, static_argnums=())
+        def pipeline(params, stats, images_u8):
+            x = batched_letterbox(images_u8, self.img_size, dtype=self.dtype)
+            (decoded, _), _ = self.model.apply(params, stats, x, train=False)
+            if isinstance(decoded, dict):
+                decoded = decoded["main"]
+            return non_max_suppression(
+                decoded, conf_thres=self.conf_thres,
+                iou_thres=self.iou_thres, max_det=self.max_det)
+
+        return pipeline
+
+    def __call__(self, images_u8: np.ndarray) -> dict[str, Any]:
+        """images_u8: (B, H, W, 3) uint8 RGB, uniform size per call.
+
+        Returns padded device arrays: boxes (B, max_det, 4) xyxy in
+        letterbox-canvas pixels, scores, classes, valid.
+        """
+        return self._pipeline(self.params, self.stats, images_u8)
+
+    def to_list(self, out: dict[str, Any],
+                original_shapes: list[tuple[int, int]] | None = None):
+        """Padded output -> per-image (n, 6) [xyxy, conf, cls] numpy, with
+        boxes mapped back to original pixels when shapes are given."""
+        from yolo_re_tpu.ops.nms import nms_to_list
+
+        dets = nms_to_list(out)
+        if original_shapes is None:
+            return dets
+        mapped = []
+        for det, (h0, w0) in zip(dets, original_shapes):
+            det = det.copy()
+            gain = min(self.img_size / h0, self.img_size / w0)
+            pad_x = (self.img_size - w0 * gain) / 2
+            pad_y = (self.img_size - h0 * gain) / 2
+            det[:, [0, 2]] = ((det[:, [0, 2]] - pad_x) / gain).clip(0, w0)
+            det[:, [1, 3]] = ((det[:, [1, 3]] - pad_y) / gain).clip(0, h0)
+            mapped.append(det)
+        return mapped
