@@ -118,6 +118,69 @@ def main() -> None:
     ok &= bool(np.all(rel < args.loss_rtol))
     print(f"total torch {float(total_t):.5f} ours {float(total_j):.5f}")
 
+    # ---- dual-head loss parity --------------------------------------------
+    # The reference's Trainer mis-dispatches the dual path (SURVEY §2.4.1);
+    # its TALoss._forward_dual itself is well-defined, so compare against
+    # that directly on shared raw tensors (aux := main tensors re-used).
+    dual_t = tloss._forward_dual(
+        (None, ([torch.from_numpy(r) for r in raw_t],
+                [torch.from_numpy(r) for r in raw_t])),
+        torch.from_numpy(t_rows))
+    items_dual_t = dual_t[1].numpy()
+    feats_j = [jnp.asarray(r.transpose(0, 2, 3, 1)) for r in raw_t]
+    _, items_dual_j = jloss({"aux": feats_j, "main": feats_j}, targets_j)
+    items_dual_j = np.asarray(items_dual_j)
+    rel_d = np.abs(items_dual_t - items_dual_j) / np.maximum(
+        np.abs(items_dual_t), 1e-6)
+    print(f"dual loss items torch: {items_dual_t}")
+    print(f"dual loss items ours : {items_dual_j}")
+    print(f"dual rel diff: {rel_d}")
+    ok &= bool(np.all(rel_d < args.loss_rtol))
+
+    # ---- one SGD step parity ----------------------------------------------
+    # torch SGD over the reference's 3 optim groups vs our grouped sgd_step
+    # with identical grads (the reference's actual total-loss backward).
+    from yolo_re_tpu.models.yolo import param_labels
+    from yolo_re_tpu.train.optimizer import init_sgd_state, sgd_step
+
+    lr, momentum, wd = 0.01, 0.937, 0.0005
+    opt = torch.optim.SGD(tmodel.optim_groups(wd), lr=lr, momentum=momentum)
+    opt.zero_grad()
+    total_t2, _ = tloss(tmodel(torch.from_numpy(images)),
+                        torch.from_numpy(t_rows))
+    total_t2.backward()
+    opt.step()
+    sd_after = {k: v.detach().numpy()
+                for k, v in tmodel.state_dict().items()}
+
+    import jax
+
+    labels = param_labels(params)
+
+    def objective(p):
+        preds, _ = jmodel.apply(p, stats, x_j, train=True)
+        total, _ = jloss(preds, targets_j)
+        return total
+
+    grads = jax.grad(objective)(params)
+    new_params, _ = sgd_step(params, grads, init_sgd_state(params), labels,
+                             lr=lr, bias_lr=lr, momentum=momentum,
+                             weight_decay=wd)
+    # compare a deep conv weight after the step. NB: `sd` aliases the live
+    # torch tensors (numpy views), so the pre-step state comes from the
+    # converted (copied) params tree.
+    w_before = np.asarray(params["stage3"]["conv_out"]["w"])
+    w_torch = np.transpose(sd_after["layers.stage3.conv_out.conv.weight"],
+                           (2, 3, 1, 0))
+    w_ours = np.asarray(new_params["stage3"]["conv_out"]["w"])
+    step_t = w_torch - w_before
+    step_j = w_ours - w_before
+    denom = max(np.abs(step_t).max(), 1e-12)
+    sgd_rel = np.abs(step_t - step_j).max() / denom
+    print(f"SGD step: max |update| torch {np.abs(step_t).max():.3e}, "
+          f"rel diff {sgd_rel:.3e}")
+    ok &= bool(sgd_rel < 0.05)
+
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 
