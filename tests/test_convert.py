@@ -1,0 +1,82 @@
+"""Weight converter round trips: export (ours -> torch naming) must be the
+exact inverse of import (torch naming -> ours), torch-free."""
+
+import jax
+import numpy as np
+import pytest
+
+from yolo_re_tpu.convert.torch_export import export_state_dict
+from yolo_re_tpu.convert.torch_import import (
+    convert_state_dict,
+    flatten_tree,
+    load_params,
+    save_params,
+)
+from yolo_re_tpu.models.yolo import YOLO
+
+
+def _assert_trees_equal(a, b):
+    fa, fb = flatten_tree(a), flatten_tree(b)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]),
+                                      err_msg=k)
+
+
+def _roundtrip(model, params, stats):
+    sd = export_state_dict(model.plan, params, stats)
+    params2, stats2 = convert_state_dict(model.plan, sd)
+    _assert_trees_equal(params, params2)
+    _assert_trees_equal(stats, stats2)
+    return sd
+
+
+def test_export_import_roundtrip_single(tiny_model):
+    model, params, stats = tiny_model
+    sd = _roundtrip(model, params, stats)
+    # torch-format invariants: OIHW kernels, BN counters, derived DFL proj
+    assert sd["layers.stem1.conv.weight"].shape == (16, 3, 3, 3)
+    assert sd["layers.stem1.bn.num_batches_tracked"].dtype == np.int64
+    np.testing.assert_array_equal(
+        sd["layers.detect.dfl.conv.weight"].reshape(-1), np.arange(16.0))
+
+
+def test_export_import_roundtrip_dual(tiny_dual_model_path):
+    model = YOLO.from_yaml(tiny_dual_model_path)
+    params, stats = model.init(jax.random.key(0))
+    sd = _roundtrip(model, params, stats)
+    assert "layers.detect.dfl2.conv.weight" in sd
+    assert "layers.detect.aux_box_convs.0.0.conv.weight" in sd
+    assert "layers.cb_route1.conv.bias" in sd
+
+
+def test_export_after_npz_roundtrip(tiny_model, tmp_path):
+    model, params, stats = tiny_model
+    path = str(tmp_path / "w.npz")
+    save_params(path, params, stats)
+    params2, stats2 = load_params(path)
+    sd1 = export_state_dict(model.plan, params, stats)
+    sd2 = export_state_dict(model.plan, params2, stats2)
+    assert sd1.keys() == sd2.keys()
+    for k in sd1:
+        np.testing.assert_array_equal(sd1[k], sd2[k], err_msg=k)
+
+
+def test_exported_keys_match_reference_model():
+    """Against the live reference model when available (RUN_PARITY=1)."""
+    import os
+
+    if os.environ.get("RUN_PARITY") != "1":
+        pytest.skip("set RUN_PARITY=1 to compare against the torch reference")
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.environ.get("REFERENCE_PATH", "/root/reference"), "src"))
+
+    model = YOLO.from_yaml("configs/models/gelan-c.yaml")
+    params, stats = model.init(jax.random.key(0))
+    sd = export_state_dict(model.plan, params, stats)
+
+    from scripts.validate_equivalence import load_reference_model
+    tmodel = load_reference_model("gelan-c")
+    ref_keys = set(tmodel.state_dict().keys())
+    assert set(sd.keys()) == ref_keys

@@ -49,3 +49,10 @@ def test_yolov9_c_dual_head_parity():
 def test_training_step_parity():
     out = _run("validate_training_parity.py")
     assert "PASS" in out
+
+
+def test_full_evaluation_stack_parity():
+    """Train briefly, export ours -> torch, run BOTH eval stacks end to end
+    (loader -> forward -> NMS -> mAP) on the same data; mAPs must agree."""
+    out = _run("validate_eval_parity.py", "--epochs", "40")
+    assert "PASS" in out
