@@ -106,7 +106,7 @@ def _apply_tower(params, stats, x, ch, c2, c3, num_classes, reg_max, train):
     pc = params["cls"][2]
     yc = conv2d(yc, pc["w"]) + pc["b"]
     ns["cls"][2] = {}
-    return jnp.concatenate([yb, yc], axis=-1), ns
+    return (yb, yc), ns
 
 
 def _bias_init(params, strides, num_classes):
@@ -124,19 +124,24 @@ def _bias_init(params, strides, num_classes):
 
 
 def _decode(levels, strides, num_classes, reg_max):
-    """Flatten per-level NHWC raw preds and decode to (B, ΣHW, 4+nc).
+    """Flatten per-level (box, cls) NHWC raw preds and decode to
+    (B, ΣHW, 4+nc).
 
     Boxes are xywh in input pixels; class scores sigmoided.
-    Semantics of reference src/yolo/heads/detect.py:87-109.
+    Semantics of reference src/yolo/heads/detect.py:87-109. The box and
+    cls streams stay separate until the final (B, A, 4+nc) concat: slicing
+    a concatenated 144-channel tensor back apart (the reference's layout)
+    is a lane-misaligned relayout of the whole prediction tensor on TPU.
     """
-    feat_shapes = [(x.shape[1], x.shape[2]) for x in levels]
+    feat_shapes = [(yb.shape[1], yb.shape[2]) for yb, _ in levels]
     anchors, stride_col = make_anchors_np(feat_shapes, strides)
     anchors = jnp.asarray(anchors)
     stride_col = jnp.asarray(stride_col)
-    b = levels[0].shape[0]
-    no = 4 * reg_max + num_classes
-    flat = jnp.concatenate([x.reshape(b, -1, no) for x in levels], axis=1)
-    box_logits, cls_logits = flat[..., :4 * reg_max], flat[..., 4 * reg_max:]
+    b = levels[0][0].shape[0]
+    box_logits = jnp.concatenate(
+        [yb.reshape(b, -1, 4 * reg_max) for yb, _ in levels], axis=1)
+    cls_logits = jnp.concatenate(
+        [yc.reshape(b, -1, num_classes) for _, yc in levels], axis=1)
     dist = dfl_decode(box_logits, reg_max)
     dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_col[None]
     return jnp.concatenate(
@@ -188,17 +193,20 @@ class DetectDFL:
                 (eval)   : ((decoded, raw_levels), new_stats)
         """
         c2, c3 = head_widths(cfg.in_channels[0], cfg.num_classes, cfg.reg_max)
-        raw, ns = [], []
+        pairs, ns = [], []
         for i, x in enumerate(feats):
             y, s = _apply_tower(params["towers"][i], stats["towers"][i], x,
                                 cfg.in_channels[i], c2, c3, cfg.num_classes,
                                 cfg.reg_max, train)
-            raw.append(y)
+            pairs.append(y)
             ns.append(s)
         new_stats = {"towers": ns}
+        # raw keeps the reference's concatenated per-level layout; XLA
+        # dead-code-eliminates the concats when the caller only uses decoded.
+        raw = [jnp.concatenate([yb, yc], axis=-1) for yb, yc in pairs]
         if train:
             return raw, new_stats
-        decoded = _decode(raw, cfg.strides, cfg.num_classes, cfg.reg_max)
+        decoded = _decode(pairs, cfg.strides, cfg.num_classes, cfg.reg_max)
         return (decoded, raw), new_stats
 
 
@@ -263,25 +271,26 @@ class DualDetectDFL:
         ch_aux, ch_main = cfg.in_channels[:n], cfg.in_channels[n:]
         c2, c3 = head_widths(ch_aux[0], cfg.num_classes, cfg.reg_max)
         c4, c5 = head_widths(ch_main[0], cfg.num_classes, cfg.reg_max)
-        aux_raw, main_raw, aux_ns, main_ns = [], [], [], []
+        aux_pairs, main_pairs, aux_ns, main_ns = [], [], [], []
         for i in range(n):
             y, s = _apply_tower(params["aux"][i], stats["aux"][i], feats[i],
                                 ch_aux[i], c2, c3, cfg.num_classes,
                                 cfg.reg_max, train)
-            aux_raw.append(y)
+            aux_pairs.append(y)
             aux_ns.append(s)
             y, s = _apply_tower(params["main"][i], stats["main"][i],
                                 feats[n + i], ch_main[i], c4, c5,
                                 cfg.num_classes, cfg.reg_max, train)
-            main_raw.append(y)
+            main_pairs.append(y)
             main_ns.append(s)
         new_stats = {"aux": aux_ns, "main": main_ns}
-        raw = {"aux": aux_raw, "main": main_raw}
+        raw = {"aux": [jnp.concatenate([yb, yc], axis=-1) for yb, yc in aux_pairs],
+               "main": [jnp.concatenate([yb, yc], axis=-1) for yb, yc in main_pairs]}
         if train:
             return raw, new_stats
         decoded = {
-            "aux": _decode(aux_raw, cfg.strides, cfg.num_classes, cfg.reg_max),
-            "main": _decode(main_raw, cfg.strides, cfg.num_classes, cfg.reg_max),
+            "aux": _decode(aux_pairs, cfg.strides, cfg.num_classes, cfg.reg_max),
+            "main": _decode(main_pairs, cfg.strides, cfg.num_classes, cfg.reg_max),
         }
         return (decoded, raw), new_stats
 

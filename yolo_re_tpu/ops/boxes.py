@@ -89,12 +89,26 @@ def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
     Returns:
         (..., 4) expected bin values in [0, reg_max-1].
     """
-    shape = box_logits.shape
-    x = box_logits.reshape(*shape[:-1], 4, reg_max)
-    p = jax.nn.softmax(x.astype(jnp.float32), axis=-1)
-    proj = jnp.arange(reg_max, dtype=jnp.float32)
-    return jnp.einsum("...b,b->...", p, proj,
-                      precision=jax.lax.Precision.HIGHEST)
+    x = box_logits.astype(jnp.float32)
+    n_sides = x.shape[-1] // reg_max  # 4
+
+    # Layout note: splitting the channel dim into (4, reg_max) puts the
+    # 16-wide bin axis on the 128-lane minor dimension — every elementwise
+    # op then runs at 1/8 lane utilization, and this decode measurably
+    # drags inference throughput. Instead: keep the 4*reg_max channels on
+    # the minor dim, exp once (any per-anchor constant shift cancels in
+    # the per-side num/den ratio below, so one global max suffices for
+    # stability; the clip guards sides far below that max), and compute
+    # all four expectations with one block-diagonal projection matmul:
+    # columns [0, n) are per-side bin values, columns [n, 2n) per-side
+    # normalizers.
+    u = jnp.exp(jnp.clip(x - jnp.max(x, axis=-1, keepdims=True), -60.0, None))
+    p = np.zeros((n_sides * reg_max, 2 * n_sides), np.float32)
+    for g in range(n_sides):
+        p[g * reg_max:(g + 1) * reg_max, g] = np.arange(reg_max)
+        p[g * reg_max:(g + 1) * reg_max, n_sides + g] = 1.0
+    nd = jnp.matmul(u, jnp.asarray(p), precision=jax.lax.Precision.HIGHEST)
+    return nd[..., :n_sides] / nd[..., n_sides:]
 
 
 # ---------------------------------------------------------------------------
