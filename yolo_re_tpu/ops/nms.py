@@ -93,7 +93,7 @@ def non_max_suppression(
     conf_thres: float = 0.25,
     iou_thres: float = 0.45,
     max_det: int = 300,
-    pre_topk: int = 2048,
+    pre_topk: int | None = None,
     agnostic: bool = False,
     backend: str = "auto",
 ) -> dict[str, jax.Array]:
@@ -101,6 +101,12 @@ def non_max_suppression(
 
     Boxes are xywh in pixels, class scores already sigmoided — the same
     contract as reference src/yolo/utils/nms.py:19-42.
+
+    pre_topk: fixed candidate count kept before the greedy pass (static
+    shapes on TPU). None picks 2048 at mAP-eval thresholds (conf < 0.1,
+    where tail candidates matter) and 512 at serving thresholds, where
+    survivors above conf are far fewer and the smaller working set is
+    measurably faster.
 
     backend: "pallas" (VMEM-resident greedy kernel, TPU), "xla" (lax.scan),
     or "auto" (pallas on TPU, xla elsewhere).
@@ -112,6 +118,8 @@ def non_max_suppression(
         valid   (B, max_det) bool
     """
     num_anchors = predictions.shape[1]
+    if pre_topk is None:
+        pre_topk = 2048 if conf_thres < 0.1 else 512
     k = min(pre_topk, num_anchors)
     if backend == "auto":
         backend = _default_backend()
