@@ -1,11 +1,20 @@
-"""Per-layer device-time profile of a model plan.
+"""Per-layer device-time profile of a model plan, by cumulative truncation.
 
-Times each block of the plan in isolation on synthetic inputs of the true
-shapes (batch/size configurable), using the LICM/dispatch-safe device
-timer. Prints a cost table sorted by total time — the action list for
-kernel optimization.
+For each prefix of the plan, jits a 20-iteration on-device loop running
+that prefix (with a data-feedback perturbation so XLA cannot hoist the
+loop-invariant forward — LICM) and reports per-layer cost as the delta
+between consecutive prefixes. This measures each layer *in context* (real
+producer/consumer fusions), unlike timing blocks in isolation, and is
+immune to the per-dispatch tunnel latency of this environment.
+
+Caveat: a truncated prefix must materialize (sum) its last output, while
+the full model fuses it into the consumer — so a cheap layer right before
+an expensive consumer can show a large positive delta paired with a
+negative delta on the consumer (e.g. a Concat feeding a conv). Read such
+adjacent pairs as one unit; the TOTAL row is exact.
 
 Run: python scripts/profile_layers.py [--model gelan-c] [--batch 32]
+(compiles one program per layer; first run takes a few minutes.)
 """
 
 from __future__ import annotations
@@ -13,6 +22,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,8 +37,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--size", type=int, default=640)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--fused", action="store_true", default=True)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="profile the unfused (training-numerics) model")
     args = ap.parse_args()
 
     import jax
@@ -37,68 +48,74 @@ def main() -> None:
 
     from yolo_re_tpu.models.builder import INPUT
     from yolo_re_tpu.models.yolo import YOLO
-    from yolo_re_tpu.utils.profiling import device_timer
 
     model = YOLO.from_yaml(f"configs/models/{args.model}.yaml")
     params, stats = model.init(jax.random.key(0))
-    if args.fused:
+    if not args.no_fuse:
         params, stats = model.fuse(params, stats)
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
 
-    # Reconstruct per-layer input shapes from the plan's channel/scale maps.
-    from yolo_re_tpu.models.builder import PlanBuilder, build_plan
-    from yolo_re_tpu.models.config import parse_yaml
+    x = jnp.asarray(
+        np.random.default_rng(0).random(
+            (args.batch, args.size, args.size, 3), np.float32), dtype=dtype)
+    params = jax.device_put(params)
+    stats = jax.device_put(stats)
+    steps = model.plan.steps
 
-    cfg = parse_yaml(f"configs/models/{args.model}.yaml")
-    builder = PlanBuilder(cfg.num_classes, cfg.width_multiplier,
-                          cfg.depth_multiplier)
-    for layer in cfg.layers:
-        from yolo_re_tpu.models.config import LayerDef
-        builder.add_layer(LayerDef.from_dict(dict(layer)))
-    channel_map, scale_map = builder.channel_map, builder.scale_map
+    def prefix_fn(k):
+        def fn(params, stats, xx):
+            outputs = {INPUT: xx}
+            acc = jnp.zeros((), jnp.float32)
+            for step in steps[:k]:
+                if len(step.inputs) == 1 and step.type != "CBFuse":
+                    inp = outputs[step.inputs[0]]
+                else:
+                    inp = [outputs[n] for n in step.inputs]
+                if step.name == model.plan.detect_name \
+                        and not isinstance(inp, list):
+                    inp = [inp]
+                out, _ = step.block.apply(
+                    step.cfg, params.get(step.name, {}),
+                    stats.get(step.name, {}), inp, train=False)
+                outputs[step.name] = out
+                # Consume every output so nothing is dead-code-eliminated.
+                acc += sum(leaf.astype(jnp.float32).sum()
+                           for leaf in jax.tree_util.tree_leaves(out))
+            return acc
+        return fn
 
-    rng = np.random.default_rng(0)
-    rows = []
-    total = 0.0
-    for step in model.plan.steps:
-        if step.name == model.plan.detect_name:
-            shapes = [(args.batch,
-                       int(args.size / scale_map[n]),
-                       int(args.size / scale_map[n]),
-                       channel_map[n]) for n in step.inputs]
-            inputs = [jnp.asarray(rng.random(s, np.float32), dtype=dtype)
-                      for s in shapes]
+    def timed(fn):
+        @jax.jit
+        def loop(params, stats, x0):
+            def body(i, carry):
+                a, xx = carry
+                s = fn(params, stats, xx)
+                # Feed the result back into the input (nonlinear network:
+                # XLA cannot algebraically hoist the body out of the loop).
+                return a + s, xx + (s * 1e-12).astype(xx.dtype)
+            a, _ = jax.lax.fori_loop(0, args.iters, body,
+                                     (jnp.float32(0), x0))
+            return a
+        r = loop(params, stats, x)
+        r.block_until_ready()
+        t0 = time.perf_counter()
+        loop(params, stats, x).block_until_ready()
+        return (time.perf_counter() - t0) / args.iters
 
-            def fn(x0, *rest):
-                out, _ = step.block.apply(step.cfg, params[step.name],
-                                          stats[step.name],
-                                          [x0, *inputs[1:]], train=False)
-                return out[0]
+    rows, prev = [], 0.0
+    for k in range(1, len(steps) + 1):
+        t = timed(prefix_fn(k)) * 1000
+        rows.append((steps[k - 1].name, steps[k - 1].type, t - prev))
+        prev = t
 
-            dt = device_timer(fn, inputs[0], iters=args.iters)
-        elif step.type in ("Concat", "CBFuse", "Silence", "CBLinear",
-                           "Upsample"):
-            continue  # plumbing; negligible or shape-coupled
-        else:
-            n = step.inputs[0]
-            shape = (args.batch, int(args.size / scale_map[n]),
-                     int(args.size / scale_map[n]), channel_map[n])
-            x = jnp.asarray(rng.random(shape, np.float32), dtype=dtype)
-
-            def fn(x):
-                out, _ = step.block.apply(step.cfg, params[step.name],
-                                          stats[step.name], x, train=False)
-                return out
-
-            dt = device_timer(fn, x, iters=args.iters)
-        rows.append((step.name, step.type, dt * 1000))
-        total += dt
-
+    total = prev
     rows.sort(key=lambda r: -r[2])
-    print(f"\n{'layer':<12} {'type':<16} {'ms/batch':>9}   % of sum")
+    print(f"\n{'layer':<12} {'type':<16} {'ms/batch':>9}   % of total")
     for name, type_, ms in rows:
-        print(f"{name:<12} {type_:<16} {ms:9.2f}   {100*ms/(total*1000):5.1f}%")
-    print(f"{'SUM':<12} {'':<16} {total*1000:9.2f}")
+        print(f"{name:<12} {type_:<16} {ms:9.2f}   {100 * ms / total:5.1f}%")
+    print(f"{'TOTAL':<12} {'':<16} {total:9.2f}   "
+          f"({args.batch / total * 1000:.0f} img/s, "
+          f"forward only, batch {args.batch})")
 
 
 if __name__ == "__main__":
