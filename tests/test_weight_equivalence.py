@@ -51,6 +51,12 @@ def test_training_step_parity():
     assert "PASS" in out
 
 
+def test_loss_curve_parity():
+    """N identical SGD steps in both frameworks: losses track per step."""
+    out = _run("validate_loss_curve.py")
+    assert "PASS" in out
+
+
 def test_full_evaluation_stack_parity():
     """Train briefly, export ours -> torch, run BOTH eval stacks end to end
     (loader -> forward -> NMS -> mAP) on the same data; mAPs must agree."""
