@@ -76,3 +76,24 @@ def test_sharded_train_step_runs(tiny_model_path, synthetic_dataset):
     assert trainer.mesh is not None and trainer.mesh.size == 8
     items = trainer.train_one_epoch(0)
     assert np.all(np.isfinite(items))
+
+
+def test_data_parallel_detector_matches_single(tiny_model_path):
+    """Serving across the mesh returns the same detections as one device."""
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.serving import Detector
+
+    model = YOLO.from_yaml(tiny_model_path)
+    params, stats = model.init(jax.random.key(0))
+    frames = (np.random.default_rng(0)
+              .integers(0, 255, (8, 96, 128, 3)).astype(np.uint8))
+
+    kw = dict(img_size=64, compute_dtype="float32", conf_thres=0.001)
+    single = Detector(model, params, stats, **kw)(frames)
+    mesh = make_mesh()
+    sharded = Detector(model, params, stats, mesh=mesh, **kw)(frames)
+
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(single[k], np.float32),
+                                   np.asarray(sharded[k], np.float32),
+                                   atol=1e-4, err_msg=k)

@@ -36,12 +36,27 @@ class Detector:
     def __init__(self, model: YOLO, params: Any, stats: Any, *,
                  img_size: int = 640, conf_thres: float = 0.25,
                  iou_thres: float = 0.45, max_det: int = 300,
-                 compute_dtype: str = "bfloat16", fuse: bool = True):
+                 compute_dtype: str = "bfloat16", fuse: bool = True,
+                 mesh: Any = None, data_parallel: bool = False):
+        """mesh / data_parallel: serve one batch across a device mesh —
+        parameters replicated, batch axis sharded; XLA partitions the whole
+        pixels-to-detections program (each chip runs its slice; no
+        cross-chip traffic since every stage is batch-elementwise).
+        data_parallel=True builds a mesh over all local devices."""
         import jax.numpy as jnp
 
         if fuse:
             params, stats = model.fuse(params, stats)
         import jax
+
+        if mesh is None and data_parallel and len(jax.devices()) > 1:
+            from yolo_re_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh()
+        self.mesh = mesh
+        if mesh is not None:
+            from yolo_re_tpu.parallel.mesh import replicate_tree
+            params = replicate_tree(params, mesh)
+            stats = replicate_tree(stats, mesh)
 
         self.model = model
         self.params = jax.device_put(params)
@@ -86,9 +101,15 @@ class Detector:
     def __call__(self, images_u8: np.ndarray) -> dict[str, Any]:
         """images_u8: (B, H, W, 3) uint8 RGB, uniform size per call.
 
-        Returns padded device arrays: boxes (B, max_det, 4) xyxy in
-        letterbox-canvas pixels, scores, classes, valid.
+        Under a mesh, B must divide evenly across devices (the batch axis
+        is sharded). Returns padded device arrays: boxes (B, max_det, 4)
+        xyxy in letterbox-canvas pixels, scores, classes, valid.
         """
+        if self.mesh is not None:
+            import jax
+
+            from yolo_re_tpu.parallel.mesh import batch_sharding
+            images_u8 = jax.device_put(images_u8, batch_sharding(self.mesh))
         return self._pipeline(self.params, self.stats, images_u8)
 
     def to_list(self, out: dict[str, Any],
