@@ -34,10 +34,83 @@ BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 SIZE = int(os.environ.get("BENCH_SIZE", "640"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MODEL = os.environ.get("BENCH_MODEL", "gelan-c")
-MODE = os.environ.get("BENCH_MODE", "fused_loop")  # fused_loop | dispatch
+MODE = os.environ.get("BENCH_MODE", "fused_loop")  # fused_loop | dispatch | train
+
+
+def bench_train() -> None:
+    """Training throughput: full train step (fwd, TAL loss, bwd, grouped
+    SGD, EMA, BN stats) in bf16 on synthetic device-resident batches."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_re_tpu.loss.tal import TALoss
+    from yolo_re_tpu.models.yolo import YOLO, param_labels
+    from yolo_re_tpu.train.ema import ema_update, init_ema
+    from yolo_re_tpu.train.optimizer import (
+        clip_by_global_norm,
+        init_sgd_state,
+        sgd_step,
+    )
+
+    model = YOLO.from_yaml(f"configs/models/{MODEL}.yaml")
+    params, stats = model.init(jax.random.key(0))
+    loss_fn = TALoss(model.num_classes, 16, model.strides)
+    labels = param_labels(params)
+    bufs, ema = init_sgd_state(params), init_ema(params, stats)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((BATCH, SIZE, SIZE, 3), np.float32),
+                         jnp.bfloat16)
+    targets = np.zeros((BATCH, 8, 5), np.float32)
+    targets[:, :2] = [1, 0.5, 0.5, 0.3, 0.3]
+    targets = jnp.asarray(targets)
+
+    @jax.jit
+    def loop(params, stats, bufs, ema, images, targets):
+        def body(i, carry):
+            params, stats, bufs, ema, x = carry
+
+            def obj(p):
+                preds, ns = model.apply(p, stats, x, train=True)
+                total, _ = loss_fn(preds, targets)
+                return total, ns
+
+            (total, ns), grads = jax.value_and_grad(obj, has_aux=True)(params)
+            grads, _ = clip_by_global_norm(grads, 10.0)
+            params, bufs = sgd_step(params, grads, bufs, labels, lr=1e-4,
+                                    bias_lr=1e-4, momentum=0.937,
+                                    weight_decay=5e-4)
+            ema = ema_update(ema, params, ns)
+            # data feedback so the loop body cannot be hoisted (LICM)
+            x = x + (total * 1e-12).astype(x.dtype)
+            return params, ns, bufs, ema, x
+        out = jax.lax.fori_loop(0, ITERS, body,
+                                (params, stats, bufs, ema, images))
+        # Return a scalar DERIVED from the final params: on this remote
+        # backend only fetching a value truly synchronizes —
+        # block_until_ready on a device tree can return before the chain
+        # has executed, reporting absurd throughput.
+        return out[0]["stem1"]["w"].astype(jnp.float32).sum()
+
+    float(loop(params, stats, bufs, ema, images, targets))  # compile+run
+    t0 = time.perf_counter()
+    float(loop(params, stats, bufs, ema, images, targets))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} train step "
+                  f"({jax.devices()[0].platform})",
+        "value": round(BATCH * ITERS / dt, 2),
+        "unit": "images/sec",
+        "vs_baseline": None,
+    }))
 
 
 def main() -> None:
+    if MODE == "train":
+        bench_train()
+        return
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -63,11 +136,11 @@ def main() -> None:
     if MODE == "dispatch":
         step = jax.jit(infer)
         out = step(params, stats, images)
-        jax.block_until_ready(out)
+        float(out["scores"].sum())  # value fetch = true synchronization
         t0 = time.perf_counter()
         for _ in range(ITERS):
             out = step(params, stats, images)
-        jax.block_until_ready(out)
+        float(out["scores"].sum())
         dt = time.perf_counter() - t0
     else:
         @jax.jit
@@ -85,11 +158,9 @@ def main() -> None:
                 0, ITERS, body, (jnp.float32(0), images))
             return acc
 
-        r = loop(params, stats, images)
-        jax.block_until_ready(r)
+        float(loop(params, stats, images))  # compile + first run
         t0 = time.perf_counter()
-        r = loop(params, stats, images)
-        jax.block_until_ready(r)
+        float(loop(params, stats, images))  # value fetch = true sync
         dt = time.perf_counter() - t0
 
     images_per_sec = BATCH * ITERS / dt

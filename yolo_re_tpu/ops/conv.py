@@ -89,18 +89,52 @@ def conv2d(
     actually f32 (required for reference parity); bf16 inputs keep DEFAULT,
     which is the fast MXU path.
     """
+    return _conv_acc_f32(x, w.astype(x.dtype), stride, padding, groups,
+                         dilation)
+
+
+def _conv_raw(x, w, stride, padding, groups, dilation, preferred):
     precision = (lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
     return lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
+        x, w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         rhs_dilation=(dilation, dilation),
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
     )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _conv_acc_f32(x, w, stride, padding, groups, dilation):
+    """Conv whose OUTPUT is f32 regardless of operand dtype.
+
+    `preferred_element_type=f32` alone is not differentiable for bf16
+    operands (the conv transpose rejects the f32 cotangent against bf16
+    operands), so the backward is defined explicitly: cast the cotangent
+    to the operand dtype and take the VJP of the plain same-dtype conv —
+    standard mixed-precision training semantics (grad convs also
+    accumulate f32 on the MXU internally). The forward is bit-identical
+    to the old preferred_element_type path.
+    """
+    return _conv_raw(x, w, stride, padding, groups, dilation, jnp.float32)
+
+
+def _conv_acc_f32_fwd(x, w, stride, padding, groups, dilation):
+    return _conv_acc_f32(x, w, stride, padding, groups, dilation), (x, w)
+
+
+def _conv_acc_f32_bwd(stride, padding, groups, dilation, res, g):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda xx, ww: _conv_raw(xx, ww, stride, padding, groups, dilation,
+                                 None), x, w)
+    return vjp(g.astype(x.dtype))
+
+
+_conv_acc_f32.defvjp(_conv_acc_f32_fwd, _conv_acc_f32_bwd)
 
 
 def init_conv_kernel(
