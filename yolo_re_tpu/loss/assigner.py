@@ -137,13 +137,14 @@ class TaskAlignedAssigner:
         """
         n_anchors = metrics.shape[-1]
         _, topk_idxs = jax.lax.top_k(metrics, self.topk)      # (B, M, k)
-        updates = jnp.broadcast_to(valid_gt[..., None].astype(jnp.float32),
-                                   topk_idxs.shape)
-
-        def scatter_row(idx, upd):
-            return jnp.zeros((n_anchors,), jnp.float32).at[idx].add(upd)
-
-        count = jax.vmap(jax.vmap(scatter_row))(topk_idxs, updates)
+        # Dense one-hot accumulation instead of scatter-add: TPU scatters
+        # serialize; the (B, M, k, A) comparison broadcast is one fused
+        # vector pass and numerically identical.
+        one_hot = (topk_idxs[..., None]
+                   == jnp.arange(n_anchors, dtype=jnp.int32))  # (B, M, k, A)
+        count = jnp.sum(one_hot.astype(jnp.float32)
+                        * valid_gt[:, :, None, None].astype(jnp.float32),
+                        axis=-2)                               # (B, M, A)
         return jnp.where(count > 1, 0.0, count)
 
     def _get_targets(self, gt_labels, gt_bboxes, target_gt_idx, fg_mask):
