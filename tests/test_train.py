@@ -120,6 +120,27 @@ def test_checkpoint_roundtrip(tmp_path):
     assert ckpt["config"]["lr"] == 0.01
 
 
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Same contract through the orbax (directory) backend; load_checkpoint
+    auto-detects the format."""
+    from yolo_re_tpu.train.checkpoint import save_checkpoint_orbax
+
+    params = {"layer": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    stats = {"layer": {"mean": np.ones(3, np.float32)}}
+    ema = {"params": params, "stats": stats, "updates": np.int32(7)}
+    bufs = {"layer": {"w": np.zeros((2, 3), np.float32)}}
+    path = tmp_path / "ckpt"
+    save_checkpoint_orbax(path, params=params, stats=stats, ema=ema,
+                          opt_bufs=bufs, epoch=3, global_step=42,
+                          best_fitness=0.5, config={"lr": 0.01})
+    ckpt = load_checkpoint(path)
+    np.testing.assert_array_equal(ckpt["params"]["layer"]["w"],
+                                  params["layer"]["w"])
+    assert (ckpt["epoch"], ckpt["global_step"]) == (3, 42)
+    assert int(ckpt["ema"]["updates"]) == 7
+    assert ckpt["config"]["lr"] == 0.01
+
+
 def test_trainer_loss_decreases(tiny_model_path, synthetic_dataset):
     """Integration smoke: a few steps of real training reduce the loss
     (the test SURVEY §4 notes the reference lacks)."""

@@ -53,7 +53,72 @@ def save_checkpoint(
     tmp.replace(path)
 
 
+def save_checkpoint_orbax(
+    path: str | Path,
+    *,
+    params,
+    stats,
+    ema,
+    opt_bufs,
+    epoch: int,
+    global_step: int,
+    best_fitness: float,
+    config: dict | None = None,
+) -> None:
+    """Orbax backend: a checkpoint DIRECTORY instead of one .npz.
+
+    Same contract as `save_checkpoint`. Use for large / sharded state —
+    orbax writes per-array (optionally sharded across hosts) and restores
+    lazily, the standard TPU-fleet checkpoint format (SURVEY §5). The
+    .npz backend stays the default: single-file, dependency-light,
+    framework-neutral.
+    """
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    state = {
+        "params": params,
+        "stats": stats,
+        "ema_params": ema["params"],
+        "ema_stats": ema["stats"],
+        "ema_updates": np.asarray(ema["updates"]),
+        "opt": opt_bufs,
+        "epoch": np.int64(epoch),
+        "global_step": np.int64(global_step),
+        "best_fitness": np.float64(best_fitness),
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, state, force=True)
+    (path / "config.json").write_text(json.dumps(config or {}, default=str))
+
+
+def load_checkpoint_orbax(path: str | Path) -> dict:
+    """Restore an orbax checkpoint into the `load_checkpoint` contract."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    state = ocp.PyTreeCheckpointer().restore(path)
+    cfg_file = path / "config.json"
+    return {
+        "params": state["params"],
+        "stats": state["stats"],
+        "opt": state["opt"],
+        "epoch": int(state["epoch"]),
+        "global_step": int(state["global_step"]),
+        "best_fitness": float(state["best_fitness"]),
+        "ema": {
+            "params": state["ema_params"],
+            "stats": state["ema_stats"],
+            "updates": np.asarray(state["ema_updates"]),
+        },
+        "config": (json.loads(cfg_file.read_text())
+                   if cfg_file.exists() else {}),
+    }
+
+
 def load_checkpoint(path: str | Path) -> dict:
+    if Path(path).is_dir():  # orbax checkpoints are directories
+        return load_checkpoint_orbax(path)
     data = np.load(path)
     sections: dict[str, dict] = {s: {} for s in _SECTIONS}
     meta: dict[str, Any] = {}

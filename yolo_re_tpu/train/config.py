@@ -34,6 +34,7 @@ class TrainConfig:
     val_period: int = 1
 
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
+    checkpoint_format: str = "npz"   # "npz" (one file) | "orbax" (directory)
     data_parallel: bool = True       # shard batch over all local devices
     device_augment: bool = False     # HSV/flip inside the jitted train step
     grad_clip_norm: float = 10.0

@@ -38,7 +38,8 @@ from yolo_re_tpu.parallel.mesh import (
     replicate_tree,
     shard_batch,
 )
-from yolo_re_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from yolo_re_tpu.train.checkpoint import (load_checkpoint, save_checkpoint,
+                                          save_checkpoint_orbax)
 from yolo_re_tpu.train.config import TrainConfig
 from yolo_re_tpu.train.ema import ema_update, init_ema
 from yolo_re_tpu.train.optimizer import (
@@ -297,7 +298,12 @@ class Trainer:
     # -- checkpointing -------------------------------------------------------
 
     def _save(self, path: Path, epoch: int) -> None:
-        save_checkpoint(
+        save_fn = (save_checkpoint_orbax
+                   if self.config.checkpoint_format == "orbax"
+                   else save_checkpoint)
+        if self.config.checkpoint_format == "orbax":
+            path = path.with_suffix("")  # orbax writes a directory
+        save_fn(
             path,
             params=jax.device_get(self.params),
             stats=jax.device_get(self.stats),
