@@ -112,6 +112,23 @@ def test_evaluator_rect_and_bf16(tiny_model, synthetic_dataset):
     assert "map50" in results and np.isfinite(results["map50"])
 
 
+def test_evaluator_debug_dump(tiny_model, synthetic_dataset, tmp_path):
+    """debug_dir writes per-epoch GT/pred overlay images
+    (reference: eval/evaluator.py:164-196)."""
+    from yolo_re_tpu.data.config import DataConfig
+    from yolo_re_tpu.data.dataset import create_dataloader
+    from yolo_re_tpu.eval.evaluator import Evaluator
+
+    model, params, stats = tiny_model
+    cfg = DataConfig(val_path=synthetic_dataset, num_classes=8, img_size=64,
+                     batch_size=4, workers=0, max_boxes=16)
+    loader = create_dataloader(synthetic_dataset, cfg, "val")
+    ev = Evaluator(model, loader, debug_dir=str(tmp_path / "dbg"))
+    ev.evaluate(params, stats, epoch=3)
+    imgs = list((tmp_path / "dbg" / "epoch3").glob("*.jpg"))
+    assert imgs, "expected debug overlay images"
+
+
 def test_serving_detector(tiny_model, synthetic_dataset):
     """End-to-end serving pipeline: uint8 batch -> padded detections."""
     from yolo_re_tpu.serving import Detector

@@ -19,6 +19,7 @@ from yolo_re_tpu.models.yolo import YOLO
 from yolo_re_tpu.ops.nms import nms_to_list, non_max_suppression
 from yolo_re_tpu.train.config import TrainConfig
 from yolo_re_tpu.train.trainer import Trainer
+from yolo_re_tpu.utils.devices import get_device
 
 __version__ = "0.1.0"
 
@@ -39,6 +40,7 @@ __all__ = [
     "compute_ap",
     "compute_map",
     "create_dataloader",
+    "get_device",
     "nms_to_list",
     "non_max_suppression",
     "parse_yaml",

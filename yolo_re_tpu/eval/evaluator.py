@@ -37,6 +37,7 @@ class Evaluator:
         iou_thres: float = 0.6,
         max_det: int = 300,
         compute_dtype: str = "float32",
+        debug_dir: str | None = None,
     ):
         self.model = model
         self.loader = loader
@@ -45,12 +46,14 @@ class Evaluator:
         self.iou_thres = iou_thres
         self.max_det = max_det
         self.compute_dtype = compute_dtype
+        self.debug_dir = debug_dir
 
-    def evaluate(self, params, stats) -> dict[str, float]:
+    def evaluate(self, params, stats, epoch: int = 0) -> dict[str, float]:
         import jax.numpy as jnp
 
         pred_boxes, pred_scores, pred_classes = [], [], []
         gt_boxes, gt_classes = [], []
+        debug: list | None = [] if self.debug_dir else None
         t0 = time.perf_counter()
         n_images = 0
         dtype = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
@@ -88,7 +91,24 @@ class Evaluator:
                 else:
                     gt_boxes.append(np.zeros((0, 4), np.float32))
                     gt_classes.append(np.zeros((0,), np.int64))
+            if (debug is not None
+                    and sum(int((d[3] > 0).sum()) for d in debug) < 10
+                    and (not debug or debug[0][0].shape[1:] == images.shape[1:])):
+                debug.append((np.asarray(images, np.float32), dets,
+                              targets, nboxes))
             n_images += b
+
+        if debug:
+            # First ~10 GT-bearing images, GT red / top-20 preds green, in a
+            # per-epoch directory (reference: eval/evaluator.py:164-196).
+            from yolo_re_tpu.utils.visualize import save_debug_images
+
+            save_debug_images(
+                np.concatenate([d[0] for d in debug]),
+                [det for d in debug for det in d[1]],
+                np.concatenate([d[2] for d in debug]),
+                np.concatenate([d[3] for d in debug]),
+                f"{self.debug_dir}/epoch{epoch}")
 
         results = compute_map(pred_boxes, pred_scores, pred_classes,
                               gt_boxes, gt_classes, self.num_classes)
