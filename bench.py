@@ -124,6 +124,8 @@ def main() -> None:
 
     def infer(params, stats, images):
         (decoded, _), _ = model.apply(params, stats, images, train=False)
+        if isinstance(decoded, dict):  # dual head: serve the main branch
+            decoded = decoded["main"]
         out = non_max_suppression(decoded, conf_thres=0.25, iou_thres=0.45)
         return out
 
