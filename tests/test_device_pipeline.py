@@ -84,3 +84,72 @@ def test_augment_batch_jits():
     out_img, out_t = f(img, targets, jax.random.key(0))
     assert out_img.shape == img.shape
     assert out_t.shape == targets.shape
+
+
+def test_mosaic_affine_geometry():
+    """Deterministic geometry: identity zoom, centered shift -> the output
+    is the canvas center crop, and a box lands where the affine says."""
+    from yolo_re_tpu.data.device_pipeline import mosaic_affine
+
+    s = 32
+    img = jnp.zeros((1, s, s, 3), jnp.float32)
+    # distinctive pixel at tile-0 position (24, 24) -> canvas (24, 24)
+    img = img.at[0, 24, 24].set(1.0)
+    targets = jnp.asarray([[[2, 0.75, 0.75, 0.125, 0.125]]], jnp.float32)
+
+    partner = jnp.zeros((1, 3), jnp.int32)
+    zoom = jnp.ones((1,))
+    shift = jnp.full((1, 2), 0.5 * s)  # centered: src = dst + s/2
+
+    out, t = mosaic_affine(img, targets, jax.random.key(0),
+                           partner_idx=partner, zoom=zoom, shift=shift)
+    assert out.shape == (1, s, s, 3) and t.shape == (1, 4, 5)
+    # canvas (24, 24) -> out (24 - 16, 24 - 16) = (8, 8)
+    assert float(out[0, 8, 8, 0]) == 1.0
+    # box center (0.75*s, 0.75*s) on canvas -> dst = (c - s) + s/2
+    # tile 0: c = 24 -> dst 8 -> normalized 0.25; tile 3: c = 24+s -> dst 40 (off-canvas, clipped/filtered or partial)
+    rows = np.asarray(t[0])
+    got = rows[(rows[:, 3] > 0)]
+    assert np.any(np.isclose(got[:, 1], 0.25, atol=1e-5) &
+                  np.isclose(got[:, 2], 0.25, atol=1e-5)), got
+
+
+def test_mosaic_affine_fill_and_zoom_out():
+    """Zoom < 1 shows grey fill outside the canvas and shrinks boxes."""
+    from yolo_re_tpu.data.device_pipeline import mosaic_affine
+
+    s = 32
+    img = jnp.ones((1, s, s, 3), jnp.float32)
+    targets = jnp.asarray([[[0, 0.5, 0.5, 0.5, 0.5]]], jnp.float32)
+    out, t = mosaic_affine(
+        img, targets, jax.random.key(0), partner_idx=jnp.zeros((1, 3), jnp.int32),
+        zoom=jnp.asarray([0.25]), shift=jnp.full((1, 2), 0.5 * s))
+    # canvas spans src [-48, 80); half the output samples outside -> fill
+    pad = 114.0 / 255.0
+    assert abs(float(out[0, 0, 0, 0]) - pad) < 1e-5   # top-left: outside
+    assert float(out[0, s // 2, s // 2, 0]) == 1.0    # center: inside
+    rows = np.asarray(t[0])
+    got = rows[rows[:, 3] > 0]
+    np.testing.assert_allclose(got[:, 3], 0.5 * 0.25, atol=1e-5)
+
+
+def test_augment_batch_full_jits():
+    from yolo_re_tpu.data.device_pipeline import augment_batch_full
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((4, 32, 32, 3)).astype(np.float32))
+    targets = jnp.zeros((4, 6, 5), jnp.float32)
+    targets = targets.at[:, 0].set(jnp.asarray([1, 0.5, 0.5, 0.4, 0.4]))
+    f = jax.jit(augment_batch_full)
+    out, t = f(img, targets, jax.random.key(1))
+    assert out.shape == img.shape
+    # capacity is compacted back to the input's static max_boxes
+    assert t.shape == targets.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # at least some mosaic boxes survive
+    assert int((t[..., 3] > 0).sum()) > 0
+    # valid rows are compacted to the front
+    valid = np.asarray(t[..., 3] > 0)
+    for row in valid:
+        nz = np.flatnonzero(row)
+        assert nz.size == 0 or nz.max() == nz.size - 1

@@ -183,6 +183,29 @@ def test_trainer_device_augment(tiny_model_path, synthetic_dataset):
     assert np.all(np.isfinite(items))
 
 
+def test_trainer_device_augment_full(tiny_model_path, synthetic_dataset):
+    """device_augment='full': mosaic/zoom/mixup/HSV/flip all inside the
+    jitted step; host pipeline reduced to decode + letterbox."""
+    from yolo_re_tpu.data.config import AugmentConfig, DataConfig
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.train.trainer import Trainer
+
+    model = YOLO.from_yaml(tiny_model_path)
+    data = DataConfig(train_path=synthetic_dataset, num_classes=8,
+                      img_size=64, batch_size=4, workers=2, max_boxes=16,
+                      augment=AugmentConfig("full"))
+    trainer = Trainer(model, data=data, epochs=1, data_parallel=False,
+                      device_augment="full",
+                      output_dir="/tmp/yolo_tpu_test_devaug_full")
+    assert trainer._device_aug_full
+    assert trainer._device_aug["mosaic_p"] == 1.0
+    # host pipeline must have its heavy stages zeroed
+    loader_aug = trainer.train_loader.dataset.transforms
+    items = trainer.train_one_epoch(0)
+    import numpy as np
+    assert np.all(np.isfinite(items))
+
+
 def test_trainer_dual_head(tiny_dual_model_path, synthetic_dataset):
     """Dual-head training end-to-end: aux weighted loss, one epoch runs
     (BASELINE config #5 smoke)."""

@@ -97,6 +97,7 @@ class DataConfig:
     rect: bool = False
     stride: int = 32
     max_boxes: int = 128  # static GT padding per image (TPU-specific)
+    uint8_images: bool = False  # loader emits uint8 RGB (4x less transfer)
     class_names: list[str] | None = None
 
     @classmethod

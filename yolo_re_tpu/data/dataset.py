@@ -291,7 +291,10 @@ class DataLoader:
                  max_boxes: int = 128, shuffle: bool = False,
                  drop_last: bool = False, workers: int = 8,
                  seed: int = 6148914691236517205 % (2**32),
-                 prefetch: int = 2):
+                 prefetch: int = 2, uint8_images: bool = False):
+        # uint8_images: emit (B, H, W, 3) uint8 RGB instead of float32/255 —
+        # 4x less host->device transfer; the train step divides on device.
+        self.uint8_images = uint8_images
         self.dataset = dataset
         self.batch_size = batch_size
         self.max_boxes = max(1, max_boxes)
@@ -328,6 +331,9 @@ class DataLoader:
             rng = np.random.default_rng(
                 (self.seed * 1000003 + self.epoch * 131071 + int(i)) % (2**32))
             s = self.dataset.get_sample(int(i), rng)
+            if self.uint8_images:
+                img = cv2.cvtColor(s.img, cv2.COLOR_BGR2RGB)
+                return np.ascontiguousarray(img), s.labels
             return to_tensor(s), s.labels
 
         results = list(pool.map(load_one, indices))
@@ -392,4 +398,5 @@ def create_dataloader(
         shuffle=is_train,
         drop_last=is_train,
         workers=config.workers,
+        uint8_images=config.uint8_images,
     )

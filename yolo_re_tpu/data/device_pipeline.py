@@ -175,6 +175,192 @@ def random_flip(img: jax.Array, targets: jax.Array, key: jax.Array,
     return img, targets
 
 
+# ---------------------------------------------------------------------------
+# on-device mosaic + scale/translate (the reference's heavy host stages)
+# ---------------------------------------------------------------------------
+
+def _affine_weights(srcf: jax.Array, src_size: int) -> jax.Array:
+    """(B, out) fractional source coords -> (B, out, src) bilinear weights.
+
+    Hat function: each output row mixes the two neighboring source rows;
+    rows sampling outside [0, src-1] get weight-sum < 1 (the remainder is
+    fill, applied by the caller). Built from traced per-sample scalars, so
+    random zoom/translate live inside jit — resampling stays two MXU
+    matmuls per batch (same trick as `resize_bilinear`, but with the
+    weight matrix computed on device from the traced geometry).
+    """
+    j = jnp.arange(src_size, dtype=jnp.float32)
+    return jnp.clip(1.0 - jnp.abs(srcf[..., None] - j), 0.0, 1.0)
+
+
+def mosaic_affine(images: jax.Array, targets: jax.Array, key: jax.Array,
+                  partner_idx: jax.Array | None = None,
+                  zoom: jax.Array | None = None,
+                  shift: jax.Array | None = None, *,
+                  scale: float = 0.9, translate: float = 0.1,
+                  mosaic_p: float = 1.0, max_out: int | None = None,
+                  pad: float = _PAD) -> tuple[jax.Array, jax.Array]:
+    """Batch-internal 4-image mosaic + random zoom/translate, on device.
+
+    The reference runs Mosaic + random_perspective on the host
+    (src/yolo/data/transforms.py:64-162, augment.py:97-184) — the two
+    stages that halve this single-core host's throughput and cost 4 image
+    decodes per sample. With the default hyps (degrees = shear =
+    perspective = 0, reference config.py:24-73) the warp is axis-aligned,
+    so the whole composition is exact separable resampling:
+
+        canvas = 2x2 grid of [self, 3 random batch partners]   (2S x 2S)
+        out(y, x) = canvas((y - u_y)/z + S, (x - u_x)/z + S)
+        z ~ U(1-scale, 1+scale),  u ~ U(0.5-translate, 0.5+translate)*S
+
+    computed as two batched matmuls against per-sample interpolation
+    matrices. Semantics notes vs the host path: partner tiles are the
+    batch's already-letterboxed squares (their 114 padding matches the
+    mosaic fill), the random mosaic center is absorbed into the
+    translate jitter, and partners are drawn from the current batch.
+
+    images (B, S, S, C) float [0,1]; targets (B, M, 5) [cls, xywh]
+    normalized. Returns (images (B, S, S, C), targets (B, max_out, 5)),
+    max_out defaulting to 4M. partner_idx/zoom/shift override the random
+    draws (for tests).
+    """
+    b, s, _, c = images.shape
+    m = targets.shape[1]
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    if partner_idx is None:
+        partner_idx = jax.random.randint(k1, (b, 3), 0, b)
+    if zoom is None:
+        zoom = jax.random.uniform(k2, (b,), minval=max(1.0 - scale, 0.1),
+                                  maxval=1.0 + scale)
+    if shift is None:
+        shift = jax.random.uniform(
+            k3, (b, 2), minval=0.5 - translate, maxval=0.5 + translate) * s
+
+    tiles = jnp.stack([images, images[partner_idx[:, 0]],
+                       images[partner_idx[:, 1]], images[partner_idx[:, 2]]],
+                      axis=1)                                  # (B, 4, S, S, C)
+    canvas = tiles.reshape(b, 2, 2, s, s, c).transpose(0, 1, 3, 2, 4, 5)
+    canvas = canvas.reshape(b, 2 * s, 2 * s, c)
+
+    dst = jnp.arange(s, dtype=jnp.float32)
+    z = zoom[:, None]
+    src_y = (dst[None] - shift[:, :1]) / z + s
+    src_x = (dst[None] - shift[:, 1:]) / z + s
+    wy = _affine_weights(src_y, 2 * s)                         # (B, S, 2S)
+    wx = _affine_weights(src_x, 2 * s)
+
+    # keep resampling in the image dtype (bf16 under the trainer): a mixed
+    # bf16 x f32 einsum would promote the whole canvas back to f32.
+    wy = wy.astype(images.dtype)
+    wx = wx.astype(images.dtype)
+    out = jnp.einsum("boh,bhwc->bowc", wy, canvas)
+    out = out + ((1.0 - wy.sum(-1))[..., None, None] * pad).astype(out.dtype)
+    out = jnp.einsum("bpw,bhwc->bhpc", wx, out)
+    out = out + ((1.0 - wx.sum(-1))[:, None, :, None] * pad).astype(out.dtype)
+    out = out.astype(images.dtype)
+
+    # -- labels: tile offset -> canvas px -> affine -> normalized ------------
+    tile_t = jnp.stack([targets, targets[partner_idx[:, 0]],
+                        targets[partner_idx[:, 1]], targets[partner_idx[:, 2]]],
+                       axis=1)                                 # (B, 4, M, 5)
+    off = jnp.asarray([[0.0, 0.0], [0.0, 1.0], [1.0, 0.0], [1.0, 1.0]]) * s
+    cx = tile_t[..., 1] * s + off[None, :, None, 1]
+    cy = tile_t[..., 2] * s + off[None, :, None, 0]
+    bw = tile_t[..., 3] * s
+    bh = tile_t[..., 4] * s
+    valid = (tile_t[..., 3] > 0) & (tile_t[..., 4] > 0)
+
+    zq = zoom[:, None, None]
+    cx = zq * (cx - s) + shift[:, None, None, 1]
+    cy = zq * (cy - s) + shift[:, None, None, 0]
+    bw, bh = bw * zq, bh * zq
+    x1 = jnp.clip(cx - bw / 2, 0.0, s)
+    y1 = jnp.clip(cy - bh / 2, 0.0, s)
+    x2 = jnp.clip(cx + bw / 2, 0.0, s)
+    y2 = jnp.clip(cy + bh / 2, 0.0, s)
+    w2, h2 = x2 - x1, y2 - y1
+    # candidate filter == host _box_candidates (data/augment.py:158-166)
+    ar = jnp.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+    keep = valid & (w2 > 2) & (h2 > 2) & (ar < 100) \
+        & (w2 * h2 / (bw * bh + 1e-16) > 0.1)
+
+    flat = jnp.stack([tile_t[..., 0],
+                      (x1 + x2) / 2 / s, (y1 + y2) / 2 / s,
+                      w2 / s, h2 / s], axis=-1).reshape(b, 4 * m, 5)
+    flat = flat * keep.reshape(b, 4 * m)[..., None]
+
+    # compact valid rows first (stable), cap capacity
+    max_out = max_out or 4 * m
+    order = jnp.argsort(~keep.reshape(b, 4 * m), axis=1, stable=True)
+    flat = jnp.take_along_axis(flat, order[..., None], axis=1)[:, :max_out]
+
+    if mosaic_p < 1.0:
+        do = jax.random.uniform(k4, (b,)) < mosaic_p
+        plain_t = jnp.zeros((b, max_out, 5), targets.dtype)
+        plain_t = plain_t.at[:, :min(m, max_out)].set(targets[:, :max_out])
+        out = jnp.where(do[:, None, None, None], out, images)
+        flat = jnp.where(do[:, None, None], flat, plain_t)
+    return out, flat
+
+
+def cap_targets(targets: jax.Array, cap: int) -> jax.Array:
+    """Compact valid GT rows first (stable) and cap capacity at `cap`.
+
+    Keeps the loss's static (B, M, A) assigner tensors bounded — mosaic
+    (x4) and mixup (x2) would otherwise multiply the padded GT capacity
+    and with it the assigner's memory footprint.
+    """
+    valid = (targets[..., 3] > 0) & (targets[..., 4] > 0)
+    order = jnp.argsort(~valid, axis=1, stable=True)
+    return jnp.take_along_axis(targets, order[..., None], axis=1)[:, :cap]
+
+
+def mixup(images: jax.Array, targets: jax.Array, key: jax.Array,
+          p: float = 0.15) -> tuple[jax.Array, jax.Array]:
+    """Device MixUp: beta(32,32) blend with the batch rolled by one
+    (reference: src/yolo/data/transforms.py:165-194). Target capacity
+    doubles; padding rows stay zero."""
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    r = jax.random.beta(k1, 32.0, 32.0, (b,)).astype(jnp.float32)
+    do = jax.random.uniform(k2, (b,)) < p
+    partner = jnp.roll(images, 1, axis=0)
+    blend = (images.astype(jnp.float32) * r[:, None, None, None]
+             + partner.astype(jnp.float32) * (1 - r)[:, None, None, None])
+    images = jnp.where(do[:, None, None, None], blend.astype(images.dtype),
+                       images)
+    partner_t = jnp.roll(targets, 1, axis=0)
+    partner_t = partner_t * do[:, None, None]  # only when mixed
+    return images, jnp.concatenate([targets, partner_t], axis=1)
+
+
+def augment_batch_full(images: jax.Array, targets: jax.Array,
+                       key: jax.Array, *, scale: float = 0.9,
+                       translate: float = 0.1, mosaic_p: float = 1.0,
+                       mixup_p: float = 0.15, hsv_h: float = 0.015,
+                       hsv_s: float = 0.7, hsv_v: float = 0.4,
+                       flip_lr: float = 0.5, flip_ud: float = 0.0,
+                       max_out: int | None = None
+                       ) -> tuple[jax.Array, jax.Array]:
+    """The whole train-time augmentation pipeline on device: mosaic +
+    zoom/translate + mixup + HSV + flips. The host then only decodes and
+    letterboxes (its 'minimal' path) — on this single-core host that is
+    the difference between a loader-bound and a device-bound trainer."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    cap = max_out or targets.shape[1]
+    if mosaic_p > 0:
+        images, targets = mosaic_affine(
+            images, targets, k1, scale=scale, translate=translate,
+            mosaic_p=mosaic_p)
+    if mixup_p > 0:
+        images, targets = mixup(images, targets, k2, p=mixup_p)
+    # one final compaction back to the pipeline's static GT capacity —
+    # mosaic/mixup grew it x8; the loss assigner's memory is O(B*M*A).
+    targets = cap_targets(targets, cap)
+    return augment_batch(images, targets, k3, hsv_h=hsv_h, hsv_s=hsv_s,
+                         hsv_v=hsv_v, flip_lr=flip_lr, flip_ud=flip_ud)
+
+
 def augment_batch(images: jax.Array, targets: jax.Array, key: jax.Array,
                   hsv_h: float = 0.015, hsv_s: float = 0.7,
                   hsv_v: float = 0.4, flip_lr: float = 0.5,

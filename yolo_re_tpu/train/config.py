@@ -36,7 +36,9 @@ class TrainConfig:
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
     checkpoint_format: str = "npz"   # "npz" (one file) | "orbax" (directory)
     data_parallel: bool = True       # shard batch over all local devices
-    device_augment: bool = False     # HSV/flip inside the jitted train step
+    # False | True (HSV/flip on device) | "full" (mosaic/zoom/mixup/HSV/flip
+    # on device; host only decodes + letterboxes)
+    device_augment: bool | str = False
     grad_clip_norm: float = 10.0
 
     ema_decay: float = 0.9999

@@ -96,10 +96,15 @@ class Trainer:
         self.loss_fn = loss_fn or TALoss(nc, reg_max, strides,
                                          loss_config or LossConfig())
 
-        # Device-side augmentation: HSV + flips move into the jitted train
-        # step (off the host); the host pipeline keeps mosaic/perspective
-        # with its HSV/flip stages disabled.
+        # Device-side augmentation. Two levels:
+        #   device_augment=True   — HSV + flips inside the jitted step; the
+        #                           host keeps mosaic/zoom (legacy split).
+        #   device_augment="full" — mosaic + zoom/translate + mixup + HSV +
+        #                           flips ALL on device; the host only
+        #                           decodes and letterboxes. On a weak host
+        #                           this makes training device-bound.
         self._device_aug = None
+        self._device_aug_full = self.config.device_augment == "full"
         if self.config.device_augment and data is not None:
             aug = data.augment
             self._device_aug = dict(hsv_h=aug.hsv_h, hsv_s=aug.hsv_s,
@@ -108,8 +113,18 @@ class Trainer:
             import copy
 
             data = copy.deepcopy(data)
-            for f in ("hsv_h", "hsv_s", "hsv_v", "flip_lr", "flip_ud"):
+            host_off = ["hsv_h", "hsv_s", "hsv_v", "flip_lr", "flip_ud"]
+            if self._device_aug_full:
+                self._device_aug.update(scale=aug.scale,
+                                        translate=aug.translate,
+                                        mosaic_p=aug.mosaic,
+                                        mixup_p=aug.mixup)
+                host_off += ["mosaic", "mixup", "scale", "translate",
+                             "degrees", "shear", "perspective"]
+            for f in host_off:
                 setattr(data.augment, f, 0.0)
+            # ship uint8 to the device; the train step normalizes there
+            data.uint8_images = True
 
         if train_loader is None:
             assert data is not None and data.train_path, \
@@ -167,15 +182,25 @@ class Trainer:
         device_aug = self._device_aug
         aug_key = jax.random.key(cfg.seed + 1)
 
+        device_aug_full = self._device_aug_full
+
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def train_step(params, stats, opt_bufs, ema, images, targets, step):
+            # Cast to compute dtype BEFORE device augmentation: the mosaic
+            # canvas is (B, 2S, 2S, 3) — in f32 it alone tips gelan-c
+            # batch-32 training over HBM capacity. uint8 batches (4x less
+            # host->device transfer) are normalized here on device.
+            if images.dtype == jnp.uint8:
+                images = images.astype(compute_dtype) / 255.0
+            else:
+                images = images.astype(compute_dtype)
             if device_aug is not None:
-                from yolo_re_tpu.data.device_pipeline import augment_batch
+                from yolo_re_tpu.data.device_pipeline import (
+                    augment_batch, augment_batch_full)
 
                 key = jax.random.fold_in(aug_key, step)
-                images, targets = augment_batch(images, targets, key,
-                                                **device_aug)
-            images = images.astype(compute_dtype)
+                fn = augment_batch_full if device_aug_full else augment_batch
+                images, targets = fn(images, targets, key, **device_aug)
 
             def objective(p):
                 preds, new_stats = model.apply(p, stats, images, train=True)
