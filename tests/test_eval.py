@@ -129,6 +129,24 @@ def test_evaluator_debug_dump(tiny_model, synthetic_dataset, tmp_path):
     assert imgs, "expected debug overlay images"
 
 
+def test_evaluator_uint8_loader_matches_float(tiny_model, synthetic_dataset):
+    """uint8-emitting loaders (device_augment trainers) must evaluate
+    identically to float loaders — the evaluator normalizes on device."""
+    from yolo_re_tpu.data.config import DataConfig
+    from yolo_re_tpu.data.dataset import create_dataloader
+    from yolo_re_tpu.eval.evaluator import Evaluator
+
+    model, params, stats = tiny_model
+    results = {}
+    for u8 in (False, True):
+        cfg = DataConfig(val_path=synthetic_dataset, num_classes=8,
+                         img_size=64, batch_size=4, workers=0, max_boxes=16,
+                         uint8_images=u8)
+        loader = create_dataloader(synthetic_dataset, cfg, "val")
+        results[u8] = Evaluator(model, loader).evaluate(params, stats)
+    assert abs(results[False]["map50"] - results[True]["map50"]) < 1e-6
+
+
 def test_serving_detector(tiny_model, synthetic_dataset):
     """End-to-end serving pipeline: uint8 batch -> padded detections."""
     from yolo_re_tpu.serving import Detector

@@ -60,7 +60,11 @@ class Evaluator:
                  else jnp.float32)
 
         for batch in self.loader:
-            images = jnp.asarray(batch["images"], dtype=dtype)
+            images = batch["images"]
+            if images.dtype == np.uint8:  # uint8 loaders: normalize on device
+                images = jnp.asarray(images).astype(dtype) / 255.0
+            else:
+                images = jnp.asarray(images, dtype=dtype)
             b, h, w = images.shape[0], images.shape[1], images.shape[2]
             out = self.model.predict(params, stats, images)
             decoded = out[0]
