@@ -113,3 +113,29 @@ def test_nms_batched():
     dets = nms_to_list(out)
     assert dets[0].shape == (1, 6)
     assert dets[1].shape == (0, 6)
+
+
+def test_nms_raw_matches_decoded(tiny_model):
+    """Lazy-decode NMS (raw streams) == NMS over the fully decoded tensor."""
+    import jax
+
+    from yolo_re_tpu.ops.boxes import make_anchors_np
+    from yolo_re_tpu.ops.nms import non_max_suppression, non_max_suppression_raw
+
+    model, params, stats = tiny_model
+    x = jax.random.uniform(jax.random.key(3), (2, 64, 64, 3))
+    (decoded, _), _ = model.apply(params, stats, x, train=False)
+    (box_l, cls_l), _ = model.apply(params, stats, x, train=False,
+                                    head_mode="split")
+
+    shapes = [(64 // int(s), 64 // int(s)) for s in model.strides]
+    anchors, stride_col = make_anchors_np(shapes, model.strides)
+
+    a = non_max_suppression(decoded, conf_thres=0.01, iou_thres=0.5)
+    b = non_max_suppression_raw(box_l, cls_l, jnp.asarray(anchors),
+                                jnp.asarray(stride_col),
+                                conf_thres=0.01, iou_thres=0.5)
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(a[k], np.float32),
+                                   np.asarray(b[k], np.float32),
+                                   atol=1e-4, err_msg=k)

@@ -123,6 +123,17 @@ def _bias_init(params, strides, num_classes):
     return new
 
 
+def flatten_pairs(levels, num_classes, reg_max):
+    """Per-level (box, cls) NHWC pairs -> flat (B, A, 4*reg_max), (B, A, nc).
+    Lane-aligned: the two streams never share a channel axis."""
+    b = levels[0][0].shape[0]
+    box = jnp.concatenate(
+        [yb.reshape(b, -1, 4 * reg_max) for yb, _ in levels], axis=1)
+    cls = jnp.concatenate(
+        [yc.reshape(b, -1, num_classes) for _, yc in levels], axis=1)
+    return box, cls
+
+
 def _decode(levels, strides, num_classes, reg_max):
     """Flatten per-level (box, cls) NHWC raw preds and decode to
     (B, ΣHW, 4+nc).
@@ -137,11 +148,7 @@ def _decode(levels, strides, num_classes, reg_max):
     anchors, stride_col = make_anchors_np(feat_shapes, strides)
     anchors = jnp.asarray(anchors)
     stride_col = jnp.asarray(stride_col)
-    b = levels[0][0].shape[0]
-    box_logits = jnp.concatenate(
-        [yb.reshape(b, -1, 4 * reg_max) for yb, _ in levels], axis=1)
-    cls_logits = jnp.concatenate(
-        [yc.reshape(b, -1, num_classes) for _, yc in levels], axis=1)
+    box_logits, cls_logits = flatten_pairs(levels, num_classes, reg_max)
     dist = dfl_decode(box_logits, reg_max)
     dbox = dist2bbox(dist, anchors[None], xywh=True) * stride_col[None]
     return jnp.concatenate(
@@ -186,11 +193,15 @@ class DetectDFL:
         return {"towers": towers}, {"towers": tstats}
 
     @staticmethod
-    def apply(cfg: DetectDFLConfig, params, stats, feats, *, train=False):
+    def apply(cfg: DetectDFLConfig, params, stats, feats, *, train=False,
+              mode="full"):
         """feats: list of NHWC tensors, one per level.
 
-        Returns (train)  : (raw_levels, new_stats)
-                (eval)   : ((decoded, raw_levels), new_stats)
+        Returns (train)        : (raw_levels, new_stats)
+                (eval)         : ((decoded, raw_levels), new_stats)
+                (eval, "split"): ((box_logits, cls_logits), new_stats) —
+                    the flat raw streams for lazy-decode NMS
+                    (ops/nms.py: non_max_suppression_raw)
         """
         c2, c3 = head_widths(cfg.in_channels[0], cfg.num_classes, cfg.reg_max)
         pairs, ns = [], []
@@ -203,6 +214,9 @@ class DetectDFL:
         new_stats = {"towers": ns}
         # raw keeps the reference's concatenated per-level layout; XLA
         # dead-code-eliminates the concats when the caller only uses decoded.
+        if not train and mode == "split":
+            return flatten_pairs(pairs, cfg.num_classes, cfg.reg_max), \
+                new_stats
         raw = [jnp.concatenate([yb, yc], axis=-1) for yb, yc in pairs]
         if train:
             return raw, new_stats
@@ -266,7 +280,8 @@ class DualDetectDFL:
                 {"aux": aux_s, "main": main_s})
 
     @staticmethod
-    def apply(cfg: DualDetectDFLConfig, params, stats, feats, *, train=False):
+    def apply(cfg: DualDetectDFLConfig, params, stats, feats, *, train=False,
+              mode="full"):
         n = cfg.num_levels
         ch_aux, ch_main = cfg.in_channels[:n], cfg.in_channels[n:]
         c2, c3 = head_widths(ch_aux[0], cfg.num_classes, cfg.reg_max)
@@ -284,6 +299,9 @@ class DualDetectDFL:
             main_pairs.append(y)
             main_ns.append(s)
         new_stats = {"aux": aux_ns, "main": main_ns}
+        if not train and mode == "split":  # serving path: main branch only
+            return flatten_pairs(main_pairs, cfg.num_classes, cfg.reg_max), \
+                new_stats
         raw = {"aux": [jnp.concatenate([yb, yc], axis=-1) for yb, yc in aux_pairs],
                "main": [jnp.concatenate([yb, yc], axis=-1) for yb, yc in main_pairs]}
         if train:

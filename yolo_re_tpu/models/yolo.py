@@ -93,7 +93,7 @@ class YOLO:
     # -- execution ----------------------------------------------------------
 
     def apply(self, params: Params, stats: Params, x: jax.Array, *,
-              train: bool = False):
+              train: bool = False, head_mode: str = "full"):
         """Run the plan. x is NHWC float (B, H, W, 3).
 
         Returns (head_output, new_stats). Head output:
@@ -116,9 +116,11 @@ class YOLO:
                 inp = [inp]
             # .get: parameter-free layers (Concat/Upsample/...) serialize to
             # nothing in npz checkpoints and may be absent after load.
+            kw = ({"mode": head_mode}
+                  if step.name == self.plan.detect_name else {})
             out, s = step.block.apply(step.cfg, params.get(step.name, {}),
                                       stats.get(step.name, {}), inp,
-                                      train=train)
+                                      train=train, **kw)
             new_stats[step.name] = s
             if step.name in self._save_names or step.name == last:
                 outputs[step.name] = out
@@ -134,6 +136,16 @@ class YOLO:
     def predict(self, params: Params, stats: Params, x: jax.Array):
         """Jit-compiled eval forward; returns (decoded, raw)."""
         return self._infer_jit(params, stats, x)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _infer_split_jit(self, params, stats, x):
+        out, _ = self.apply(params, stats, x, train=False, head_mode="split")
+        return out
+
+    def predict_split(self, params: Params, stats: Params, x: jax.Array):
+        """Eval forward returning flat raw (box_logits, cls_logits) streams
+        for lazy-decode NMS (dual heads: the main branch)."""
+        return self._infer_split_jit(params, stats, x)
 
     def fuse(self, params: Params, stats: Params) -> tuple[Params, Params]:
         """Fold all BN (and RepConv branches) for the inference path."""

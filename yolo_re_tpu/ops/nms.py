@@ -141,7 +141,13 @@ def non_max_suppression(
         return boxes, boxes_off, conf_k, cls_k
 
     boxes, boxes_off, conf_k, cls_k = jax.vmap(preselect)(predictions)
+    return _suppress(boxes, boxes_off, conf_k, cls_k,
+                     iou_thres=iou_thres, max_det=max_det, backend=backend)
 
+
+def _suppress(boxes, boxes_off, conf_k, cls_k, *, iou_thres, max_det,
+              backend) -> dict[str, jax.Array]:
+    """Shared greedy-suppression backend over preselected candidates."""
     if backend == "pallas":
         from yolo_re_tpu.ops.pallas.nms_kernel import pallas_nms_select
 
@@ -166,6 +172,69 @@ def non_max_suppression(
         "classes": out_classes,
         "valid": valid,
     }
+
+
+@partial(jax.jit, static_argnames=("reg_max", "conf_thres", "iou_thres",
+                                   "max_det", "pre_topk", "agnostic",
+                                   "backend"))
+def non_max_suppression_raw(
+    box_logits: jax.Array,      # (B, A, 4*reg_max) raw DFL logits
+    cls_logits: jax.Array,      # (B, A, nc) raw class logits
+    anchors: jax.Array,         # (A, 2) grid points
+    stride_col: jax.Array,      # (A, 1) per-anchor stride
+    reg_max: int = 16,
+    conf_thres: float = 0.25,
+    iou_thres: float = 0.45,
+    max_det: int = 300,
+    pre_topk: int | None = None,
+    agnostic: bool = False,
+    backend: str = "auto",
+) -> dict[str, jax.Array]:
+    """NMS straight from the raw head streams, with LAZY box decode.
+
+    Confidence ranking needs only class logits (sigmoid is monotonic, so
+    max/argmax happen pre-sigmoid and only the K winners get sigmoided);
+    the DFL expectation + dist2bbox then run on the pre_topk selected
+    anchors instead of all of them — for gelan-c at 640px that is 512-2048
+    boxes decoded instead of 8400.
+
+    Measured on v5e at gelan-c/640/batch-32 this is NEUTRAL vs decoding
+    densely first (XLA already overlaps the dense decode well, and the
+    per-row candidate gathers cost what the decode saved), so the default
+    serving path stays dense; this entry point exists for models where
+    decode is genuinely heavy (large reg_max / class counts) and as the
+    building block for custom pipelines.
+    """
+    from yolo_re_tpu.ops.boxes import dfl_decode, dist2bbox
+
+    num_anchors = box_logits.shape[1]
+    if pre_topk is None:
+        pre_topk = 2048 if conf_thres < 0.1 else 512
+    k = min(pre_topk, num_anchors)
+    if backend == "auto":
+        backend = _default_backend()
+
+    def preselect(bl, cl):
+        conf_l = jnp.max(cl, axis=1).astype(jnp.float32)
+        cls_idx = jnp.argmax(cl, axis=1).astype(jnp.int32)
+        conf = jax.nn.sigmoid(conf_l)
+        conf = jnp.where(conf > conf_thres, conf, 0.0)
+
+        conf_k, sel = jax.lax.top_k(conf, k)
+        dist = dfl_decode(bl[sel].astype(jnp.float32), reg_max)   # (k, 4)
+        dbox = dist2bbox(dist, anchors[sel], xywh=True) * stride_col[sel]
+        boxes = xywh2xyxy(dbox)
+        cls_k = cls_idx[sel]
+        if agnostic:
+            boxes_off = boxes
+        else:
+            boxes_off = boxes + (cls_k.astype(jnp.float32) * MAX_WH)[:, None]
+        return boxes, boxes_off, conf_k, cls_k
+
+    boxes, boxes_off, conf_k, cls_k = jax.vmap(preselect)(box_logits,
+                                                          cls_logits)
+    return _suppress(boxes, boxes_off, conf_k, cls_k,
+                     iou_thres=iou_thres, max_det=max_det, backend=backend)
 
 
 def nms_to_list(out: dict[str, jax.Array]):
