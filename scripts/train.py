@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--output", default="runs/train")
     ap.add_argument("--resume", default=None, help="checkpoint to resume")
     ap.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    ap.add_argument("--device-augment", default=None,
+                    choices=["basic", "full"],
+                    help="run augmentation on device: 'basic' = HSV/flip, "
+                         "'full' = also mosaic/zoom/mixup (host only "
+                         "decodes + letterboxes)")
     ap.add_argument("--no-dp", action="store_true",
                     help="disable data parallelism")
     args = ap.parse_args()
@@ -66,6 +71,8 @@ def main() -> None:
         output_dir=args.output,
         compute_dtype="bfloat16" if args.bf16 else "float32",
         data_parallel=not args.no_dp,
+        device_augment={"basic": True, "full": "full",
+                        None: False}[args.device_augment],
     )
     if args.resume:
         trainer.load_checkpoint(args.resume)
