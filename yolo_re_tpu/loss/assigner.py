@@ -135,17 +135,21 @@ class TaskAlignedAssigner:
         rows contribute nothing (they scatter 0), and top_k never returns
         duplicates, so the `count > 1 -> 0` rule reduces to masking.
         """
-        n_anchors = metrics.shape[-1]
-        _, topk_idxs = jax.lax.top_k(metrics, self.topk)      # (B, M, k)
-        # Dense one-hot accumulation instead of scatter-add: TPU scatters
-        # serialize; the (B, M, k, A) comparison broadcast is one fused
-        # vector pass and numerically identical.
-        one_hot = (topk_idxs[..., None]
-                   == jnp.arange(n_anchors, dtype=jnp.int32))  # (B, M, k, A)
-        count = jnp.sum(one_hot.astype(jnp.float32)
-                        * valid_gt[:, :, None, None].astype(jnp.float32),
-                        axis=-2)                               # (B, M, A)
-        return jnp.where(count > 1, 0.0, count)
+        # Threshold against the k-th largest value instead of scattering
+        # (TPU scatters serialize) or materializing a (B, M, k, A) one-hot
+        # (1.4 GB of traffic at M=128): an anchor is a candidate iff its
+        # metric is >= the k-th value AND positive. Zero-metric anchors are
+        # excluded — the reference's top_k can pick them when a GT has
+        # fewer than k positive candidates, but they are always filtered by
+        # mask_in_gts downstream (metrics here are pre-multiplied by it).
+        # Exact ties at the k-th value would admit > k candidates; metrics
+        # are continuous products of sigmoids and IoUs, so ties only occur
+        # at zero, which is excluded.
+        topk_vals, _ = jax.lax.top_k(metrics, self.topk)       # (B, M, k)
+        kth = topk_vals[..., -1:]                              # (B, M, 1)
+        mask = (metrics >= kth) & (metrics > 0) \
+            & (valid_gt[..., None] > 0)
+        return mask.astype(jnp.float32)
 
     def _get_targets(self, gt_labels, gt_bboxes, target_gt_idx, fg_mask):
         """Gather per-anchor targets (reference: assigner.py:195-214)."""
