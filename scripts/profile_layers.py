@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -48,6 +47,7 @@ def main() -> None:
 
     from yolo_re_tpu.models.builder import INPUT
     from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.utils.profiling import device_timer
 
     model = YOLO.from_yaml(f"configs/models/{args.model}.yaml")
     params, stats = model.init(jax.random.key(0))
@@ -84,27 +84,11 @@ def main() -> None:
             return acc
         return fn
 
-    def timed(fn):
-        @jax.jit
-        def loop(params, stats, x0):
-            def body(i, carry):
-                a, xx = carry
-                s = fn(params, stats, xx)
-                # Feed the result back into the input (nonlinear network:
-                # XLA cannot algebraically hoist the body out of the loop).
-                return a + s, xx + (s * 1e-12).astype(xx.dtype)
-            a, _ = jax.lax.fori_loop(0, args.iters, body,
-                                     (jnp.float32(0), x0))
-            return a
-        r = loop(params, stats, x)
-        r.block_until_ready()
-        t0 = time.perf_counter()
-        loop(params, stats, x).block_until_ready()
-        return (time.perf_counter() - t0) / args.iters
-
     rows, prev = [], 0.0
     for k in range(1, len(steps) + 1):
-        t = timed(prefix_fn(k)) * 1000
+        fn = prefix_fn(k)
+        t = device_timer(lambda xx, p, s: fn(p, s, xx), x, params, stats,
+                         iters=args.iters) * 1000
         rows.append((steps[k - 1].name, steps[k - 1].type, t - prev))
         prev = t
 

@@ -199,8 +199,11 @@ def test_trainer_device_augment_full(tiny_model_path, synthetic_dataset):
                       output_dir="/tmp/yolo_tpu_test_devaug_full")
     assert trainer._device_aug_full
     assert trainer._device_aug["mosaic_p"] == 1.0
-    # host pipeline must have its heavy stages zeroed
-    loader_aug = trainer.train_loader.dataset.transforms
+    # host pipeline must have its heavy stages zeroed (no double mosaic)
+    host_stages = trainer.train_loader.dataset.transforms.transforms
+    mosaic = next(t for t in host_stages if type(t).__name__ == "Mosaic")
+    mixup = next(t for t in host_stages if type(t).__name__ == "MixUp")
+    assert mosaic.prob == 0.0 and mixup.prob == 0.0
     items = trainer.train_one_epoch(0)
     import numpy as np
     assert np.all(np.isfinite(items))

@@ -96,6 +96,7 @@ class Evaluator:
                     gt_boxes.append(np.zeros((0, 4), np.float32))
                     gt_classes.append(np.zeros((0,), np.int64))
             if (debug is not None
+                    and (nboxes > 0).any()  # only batches with GT are usable
                     and sum(int((d[3] > 0).sum()) for d in debug) < 10
                     and (not debug or debug[0][0].shape[1:] == images.shape[1:])):
                 debug.append((np.asarray(images, np.float32), dets,

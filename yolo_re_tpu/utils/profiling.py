@@ -72,11 +72,10 @@ def device_timer(fn, *args, iters: int = 10):
                                    (jnp.float32(0), args[0]))
         return acc
 
-    r = loop(*args)
-    jax.block_until_ready(r)
+    # value fetch on BOTH calls: block_until_ready can return early
+    # through the device tunnel in this environment (see CLAUDE.md), which
+    # would let warmup execution bleed into the timed region.
+    float(loop(*args))
     t0 = time.perf_counter()
-    r = loop(*args)
-    # value fetch: block_until_ready alone can return early through the
-    # device tunnel in this environment
-    float(r)
+    float(loop(*args))
     return (time.perf_counter() - t0) / iters
