@@ -35,6 +35,7 @@ SIZE = int(os.environ.get("BENCH_SIZE", "640"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MODEL = os.environ.get("BENCH_MODEL", "gelan-c")
 MODE = os.environ.get("BENCH_MODE", "fused_loop")  # fused_loop | dispatch | train
+REMAT = os.environ.get("BENCH_REMAT", "0") == "1"   # train mode: per-block remat
 
 
 def bench_train() -> None:
@@ -72,7 +73,7 @@ def bench_train() -> None:
             params, stats, bufs, ema, x = carry
 
             def obj(p):
-                preds, ns = model.apply(p, stats, x, train=True)
+                preds, ns = model.apply(p, stats, x, train=True, remat=REMAT)
                 total, _ = loss_fn(preds, targets)
                 return total, ns
 
@@ -98,7 +99,8 @@ def bench_train() -> None:
     float(loop(params, stats, bufs, ema, images, targets))
     dt = time.perf_counter() - t0
     print(json.dumps({
-        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} train step "
+        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} train step"
+                  f"{' remat' if REMAT else ''} "
                   f"({jax.devices()[0].platform})",
         "value": round(BATCH * ITERS / dt, 2),
         "unit": "images/sec",

@@ -128,3 +128,24 @@ def test_dual_model_builds_and_forwards(tiny_dual_model_path):
     fp, fs = model.fuse(params, stats)
     (dec_f, _), _ = model.apply(fp, fs, x, train=False)
     assert dec_f["main"].shape == (1, 84, 12)
+
+
+def test_remat_grads_match(tiny_model):
+    """Per-block remat must be numerically transparent (same loss, grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params, stats = tiny_model
+    x = jax.random.uniform(jax.random.key(5), (2, 64, 64, 3))
+
+    def loss(p, remat):
+        preds, _ = model.apply(p, stats, x, train=True, remat=remat)
+        return sum(l.astype(jnp.float32).sum() for l in
+                   jax.tree_util.tree_leaves(preds))
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

@@ -93,7 +93,8 @@ class YOLO:
     # -- execution ----------------------------------------------------------
 
     def apply(self, params: Params, stats: Params, x: jax.Array, *,
-              train: bool = False, head_mode: str = "full"):
+              train: bool = False, head_mode: str = "full",
+              remat: bool = False):
         """Run the plan. x is NHWC float (B, H, W, 3).
 
         Returns (head_output, new_stats). Head output:
@@ -118,9 +119,15 @@ class YOLO:
             # nothing in npz checkpoints and may be absent after load.
             kw = ({"mode": head_mode}
                   if step.name == self.plan.detect_name else {})
-            out, s = step.block.apply(step.cfg, params.get(step.name, {}),
-                                      stats.get(step.name, {}), inp,
-                                      train=train, **kw)
+            apply_fn = partial(step.block.apply, step.cfg, train=train, **kw)
+            if remat:
+                # Per-block rematerialization: the backward pass recomputes
+                # each block's internals from its inputs instead of storing
+                # every activation — trades ~1 extra forward of FLOPs for
+                # the memory to fit much larger train batches.
+                apply_fn = jax.checkpoint(apply_fn)
+            out, s = apply_fn(params.get(step.name, {}),
+                              stats.get(step.name, {}), inp)
             new_stats[step.name] = s
             if step.name in self._save_names or step.name == last:
                 outputs[step.name] = out

@@ -39,6 +39,7 @@ class TrainConfig:
     # False | True (HSV/flip on device) | "full" (mosaic/zoom/mixup/HSV/flip
     # on device; host only decodes + letterboxes)
     device_augment: bool | str = False
+    remat: bool = False              # per-block remat: fit larger batches
     grad_clip_norm: float = 10.0
 
     ema_decay: float = 0.9999

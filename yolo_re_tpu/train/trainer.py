@@ -203,7 +203,8 @@ class Trainer:
                 images, targets = fn(images, targets, key, **device_aug)
 
             def objective(p):
-                preds, new_stats = model.apply(p, stats, images, train=True)
+                preds, new_stats = model.apply(p, stats, images, train=True,
+                                               remat=cfg.remat)
                 total, items = loss_fn(preds, targets)
                 return total, (new_stats, items)
 
