@@ -97,3 +97,22 @@ def test_data_parallel_detector_matches_single(tiny_model_path):
         np.testing.assert_allclose(np.asarray(single[k], np.float32),
                                    np.asarray(sharded[k], np.float32),
                                    atol=1e-4, err_msg=k)
+
+
+def test_sharded_device_augment_full(tiny_model_path, synthetic_dataset):
+    """device_augment='full' under a sharded batch: the mosaic partner
+    gather crosses shard boundaries (XLA inserts the collective)."""
+    from yolo_re_tpu.data.config import AugmentConfig, DataConfig
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.train.trainer import Trainer
+
+    model = YOLO.from_yaml(tiny_model_path)
+    data = DataConfig(train_path=synthetic_dataset, num_classes=8,
+                      img_size=64, batch_size=8, workers=2, max_boxes=16,
+                      augment=AugmentConfig("full"))
+    trainer = Trainer(model, data=data, epochs=1, data_parallel=True,
+                      device_augment="full",
+                      output_dir="/tmp/yolo_tpu_test_dp_devaug")
+    assert trainer.mesh is not None and trainer.mesh.size == 8
+    items = trainer.train_one_epoch(0)
+    assert np.all(np.isfinite(items))

@@ -79,11 +79,18 @@ def _nms_single(
     return out_boxes, out_scores, out_classes, out_valid
 
 
-def _default_backend() -> str:
+def _default_backend(k: int) -> str:
+    """Measured on v5e (gelan-c/640/batch-32, full pipeline): the vmapped
+    lax.scan greedy pass wins at small candidate counts (serving, K=512:
+    721 vs 697 img/s) while the VMEM-resident pallas kernel wins at large
+    ones (eval, K=2048: 675 vs 649) — scan iterations are cheap but the
+    kernel amortizes better over wide candidate tiles."""
     try:
-        return "pallas" if jax.default_backend() == "tpu" else "xla"
+        if jax.default_backend() != "tpu":
+            return "xla"
     except Exception:
         return "xla"
+    return "pallas" if k > 1024 else "xla"
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det",
@@ -122,7 +129,7 @@ def non_max_suppression(
         pre_topk = 2048 if conf_thres < 0.1 else 512
     k = min(pre_topk, num_anchors)
     if backend == "auto":
-        backend = _default_backend()
+        backend = _default_backend(k)
 
     def preselect(pred):
         boxes_xywh = pred[:, :4].astype(jnp.float32)
@@ -212,7 +219,7 @@ def non_max_suppression_raw(
         pre_topk = 2048 if conf_thres < 0.1 else 512
     k = min(pre_topk, num_anchors)
     if backend == "auto":
-        backend = _default_backend()
+        backend = _default_backend(k)
 
     def preselect(bl, cl):
         conf_l = jnp.max(cl, axis=1).astype(jnp.float32)
