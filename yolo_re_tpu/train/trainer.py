@@ -224,6 +224,36 @@ class Trainer:
 
     # -- epochs --------------------------------------------------------------
 
+    def _put_batch(self, batch):
+        """Host batch -> device arrays (async device_put; sharded on a
+        mesh). Called one batch ahead so the host->device transfer of
+        batch n+1 overlaps the device compute of batch n — on hosts with
+        slow links to the accelerator this hides most of the transfer."""
+        images, targets = batch["images"], batch["targets"]
+        if self.mesh is not None:
+            n = self.mesh.size
+            b = images.shape[0]
+            if b % n:
+                padded = pad_batch_to(
+                    {"images": images, "targets": targets},
+                    ((b + n - 1) // n) * n)
+                images, targets = padded["images"], padded["targets"]
+            sharded = shard_batch(
+                {"images": images, "targets": targets}, self.mesh)
+            return sharded["images"], sharded["targets"], batch
+        return jax.device_put(images), jax.device_put(targets), batch
+
+    def _prefetched(self):
+        """Iterate (images_dev, targets_dev, host_batch) one batch ahead."""
+        pending = None
+        for batch in self.train_loader:
+            cur = self._put_batch(batch)
+            if pending is not None:
+                yield pending
+            pending = cur
+        if pending is not None:
+            yield pending
+
     def train_one_epoch(self, epoch: int) -> np.ndarray:
         self.train_loader.set_epoch(epoch)
         cfg = self.config
@@ -232,20 +262,7 @@ class Trainer:
         n_batches = 0
         n_images = 0
 
-        for batch in self.train_loader:
-            images, targets = batch["images"], batch["targets"]
-            if self.mesh is not None:
-                n = self.mesh.size
-                b = images.shape[0]
-                if b % n:
-                    padded = pad_batch_to(
-                        {"images": images, "targets": targets},
-                        ((b + n - 1) // n) * n)
-                    images, targets = padded["images"], padded["targets"]
-                sharded = shard_batch(
-                    {"images": images, "targets": targets}, self.mesh)
-                images, targets = sharded["images"], sharded["targets"]
-
+        for images, targets, batch in self._prefetched():
             (self.params, self.stats, self.opt_bufs, self.ema,
              loss, items, gnorm) = self._train_step(
                 self.params, self.stats, self.opt_bufs, self.ema,
