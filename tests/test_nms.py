@@ -139,3 +139,21 @@ def test_nms_raw_matches_decoded(tiny_model):
         np.testing.assert_allclose(np.asarray(a[k], np.float32),
                                    np.asarray(b[k], np.float32),
                                    atol=1e-4, err_msg=k)
+
+
+def test_nms_agnostic_mode():
+    """agnostic=True suppresses across classes (no class-offset trick)."""
+    from yolo_re_tpu.ops.nms import non_max_suppression
+
+    # two identical boxes, different classes, both confident
+    pred = np.zeros((1, 2, 4 + 3), np.float32)
+    pred[0, :, :4] = [50, 50, 20, 20]   # same xywh box
+    pred[0, 0, 4] = 0.9                 # class 0
+    pred[0, 1, 5] = 0.8                 # class 1
+    per_class = non_max_suppression(jnp.asarray(pred), conf_thres=0.1,
+                                    iou_thres=0.5, backend="xla")
+    agnostic = non_max_suppression(jnp.asarray(pred), conf_thres=0.1,
+                                   iou_thres=0.5, agnostic=True,
+                                   backend="xla")
+    assert int(per_class["valid"].sum()) == 2   # kept: different classes
+    assert int(agnostic["valid"].sum()) == 1    # suppressed across classes
