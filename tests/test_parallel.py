@@ -91,11 +91,20 @@ def test_data_parallel_detector_matches_single(tiny_model_path):
     kw = dict(img_size=64, compute_dtype="float32", conf_thres=0.001)
     single = Detector(model, params, stats, **kw)(frames)
     mesh = make_mesh()
-    sharded = Detector(model, params, stats, mesh=mesh, **kw)(frames)
+    det_dp = Detector(model, params, stats, mesh=mesh, **kw)
+    sharded = det_dp(frames)
 
     for k in ("boxes", "scores", "classes", "valid"):
         np.testing.assert_allclose(np.asarray(single[k], np.float32),
                                    np.asarray(sharded[k], np.float32),
+                                   atol=1e-4, err_msg=k)
+
+    # non-divisible batch: padded internally, padding sliced off
+    odd = det_dp(frames[:5])
+    assert odd["boxes"].shape[0] == 5
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(odd[k], np.float32),
+                                   np.asarray(single[k][:5], np.float32),
                                    atol=1e-4, err_msg=k)
 
 

@@ -101,15 +101,27 @@ class Detector:
     def __call__(self, images_u8: np.ndarray) -> dict[str, Any]:
         """images_u8: (B, H, W, 3) uint8 RGB, uniform size per call.
 
-        Under a mesh, B must divide evenly across devices (the batch axis
-        is sharded). Returns padded device arrays: boxes (B, max_det, 4)
-        xyxy in letterbox-canvas pixels, scores, classes, valid.
+        Under a mesh the batch is padded up to a multiple of the device
+        count (padding rows produce no detections and are sliced off).
+        Returns padded device arrays: boxes (B, max_det, 4) xyxy in
+        letterbox-canvas pixels, scores, classes, valid.
         """
         if self.mesh is not None:
             import jax
 
             from yolo_re_tpu.parallel.mesh import batch_sharding
+            b = images_u8.shape[0]
+            n = self.mesh.size
+            pad = (-b) % n
+            if pad:
+                images_u8 = np.concatenate(
+                    [images_u8, np.zeros((pad,) + images_u8.shape[1:],
+                                         images_u8.dtype)])
             images_u8 = jax.device_put(images_u8, batch_sharding(self.mesh))
+            out = self._pipeline(self.params, self.stats, images_u8)
+            if pad:
+                out = {k: v[:b] for k, v in out.items()}
+            return out
         return self._pipeline(self.params, self.stats, images_u8)
 
     def to_list(self, out: dict[str, Any],
