@@ -80,3 +80,17 @@ def test_exported_keys_match_reference_model():
     tmodel = load_reference_model("gelan-c")
     ref_keys = set(tmodel.state_dict().keys())
     assert set(sd.keys()) == ref_keys
+
+
+def test_load_params_rejects_training_checkpoint(tiny_model, tmp_path):
+    """A full training checkpoint must not silently load as bare params —
+    that path returned raw last-step weights where EMA was documented."""
+    from yolo_re_tpu.train.checkpoint import save_checkpoint
+
+    model, params, stats = tiny_model
+    ema = {"params": params, "stats": stats, "updates": np.int32(1)}
+    path = str(tmp_path / "ckpt.npz")
+    save_checkpoint(path, params=params, stats=stats, ema=ema,
+                    opt_bufs={}, epoch=0, global_step=1, best_fitness=0.0)
+    with pytest.raises(ValueError, match="training checkpoint"):
+        load_params(path)

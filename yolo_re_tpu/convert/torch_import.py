@@ -242,6 +242,15 @@ def save_params(path: str, params: dict, stats: dict) -> None:
 
 def load_params(path: str) -> tuple[dict, dict]:
     data = np.load(path)
+    if any(k.startswith("ema_params/") for k in data.files):
+        # Full training checkpoint (save_checkpoint) — it shares the
+        # params/stats prefixes, so loading it here would silently return
+        # the raw last-step weights instead of the EMA weights that
+        # validation ran on. Force callers through load_checkpoint.
+        raise ValueError(
+            f"{path} is a full training checkpoint, not a bare params file;"
+            " use yolo_re_tpu.train.checkpoint.load_checkpoint (EMA weights"
+            " are in ckpt['ema'])")
     params_flat, stats_flat = {}, {}
     for k in data.files:
         if k.startswith("params/"):

@@ -116,7 +116,8 @@ def non_max_suppression(
     measurably faster.
 
     backend: "pallas" (VMEM-resident greedy kernel, TPU), "xla" (lax.scan),
-    or "auto" (pallas on TPU, xla elsewhere).
+    or "auto" (on TPU: xla for small K, pallas above 1024 — see
+    _default_backend; xla elsewhere).
 
     Returns dict of fixed-shape arrays:
         boxes   (B, max_det, 4) xyxy

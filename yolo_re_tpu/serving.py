@@ -110,13 +110,14 @@ class Detector:
             import jax
 
             from yolo_re_tpu.parallel.mesh import batch_sharding
+            from yolo_re_tpu.parallel.mesh import pad_batch_to
+
             b = images_u8.shape[0]
             n = self.mesh.size
             pad = (-b) % n
             if pad:
-                images_u8 = np.concatenate(
-                    [images_u8, np.zeros((pad,) + images_u8.shape[1:],
-                                         images_u8.dtype)])
+                images_u8 = pad_batch_to({"images": images_u8},
+                                         b + pad)["images"]
             images_u8 = jax.device_put(images_u8, batch_sharding(self.mesh))
             out = self._pipeline(self.params, self.stats, images_u8)
             if pad:
