@@ -225,3 +225,42 @@ def test_trainer_dual_head(tiny_dual_model_path, synthetic_dataset):
     assert trainer.is_dual
     items = trainer.train_one_epoch(0)
     assert np.all(np.isfinite(items))
+
+
+def test_trainer_full_loop_and_resume(tiny_model_path, synthetic_dataset,
+                                      tmp_path):
+    """trainer.train() end to end: validates on EMA, writes best/last
+    checkpoints + metrics.jsonl, and resumes exactly (reference policy:
+    src/yolo/train/trainer.py:197-228, 336-371)."""
+    import json
+
+    from yolo_re_tpu.data.config import AugmentConfig, DataConfig
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.train.trainer import Trainer
+
+    out = tmp_path / "run"
+    model = YOLO.from_yaml(tiny_model_path)
+    data = DataConfig(train_path=synthetic_dataset,
+                      val_path=synthetic_dataset, num_classes=8,
+                      img_size=64, batch_size=4, workers=2, max_boxes=16,
+                      augment=AugmentConfig("minimal"))
+    trainer = Trainer(model, data=data, epochs=2, data_parallel=False,
+                      val_period=1, output_dir=str(out))
+    results = trainer.train()
+    assert "map50" in results
+    assert (out / "last.npz").exists()
+    assert (out / "metrics.jsonl").exists()
+    lines = [json.loads(l) for l in open(out / "metrics.jsonl")]
+    assert len(lines) == 2 and "val_map50" in lines[-1]
+
+    # resume: epoch counter, step counter, weights all restored
+    trainer2 = Trainer(model, data=data, epochs=3, data_parallel=False,
+                       val_period=10 ** 9, output_dir=str(out))
+    trainer2.load_checkpoint(out / "last.npz")
+    assert trainer2.start_epoch == 2
+    assert trainer2.global_step == trainer.global_step
+    a = np.asarray(trainer.params["stem1"]["w"])
+    b = np.asarray(trainer2.params["stem1"]["w"])
+    np.testing.assert_array_equal(a, b)
+    items = trainer2.train_one_epoch(trainer2.start_epoch)
+    assert np.all(np.isfinite(items))
