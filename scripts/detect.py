@@ -47,6 +47,10 @@ def main() -> None:
     ap.add_argument("--conf", type=float, default=0.25)
     ap.add_argument("--iou", type=float, default=0.45)
     ap.add_argument("--num-classes", type=int, default=80)
+    ap.add_argument("--classes", type=int, nargs="+", default=None,
+                    help="only keep detections of these class indices")
+    ap.add_argument("--show", action="store_true",
+                    help="display each annotated image (needs a GUI)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="skip BN/RepConv inference fusion")
     args = ap.parse_args()
@@ -92,8 +96,9 @@ def main() -> None:
         decoded = model.predict(params, stats, x)[0]
         if isinstance(decoded, dict):
             decoded = decoded["main"]
-        out = non_max_suppression(decoded, conf_thres=args.conf,
-                                  iou_thres=args.iou)
+        out = non_max_suppression(
+            decoded, conf_thres=args.conf, iou_thres=args.iou,
+            classes=tuple(args.classes) if args.classes else None)
         det = nms_to_list(out)[0]
         dt = (time.perf_counter() - t0) * 1000
         times.append(dt)
@@ -102,6 +107,9 @@ def main() -> None:
         vis = draw_boxes(img0, det[:, :4], det[:, 5], det[:, 4])
         out_path = out_dir / path.name
         cv2.imwrite(str(out_path), vis)
+        if args.show:
+            cv2.imshow(path.name, vis)
+            cv2.waitKey(0)
         print(f"{path.name}: {len(det)} detections in {dt:.1f} ms -> {out_path}")
 
     if times:

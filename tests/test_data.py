@@ -1,5 +1,7 @@
 """Data pipeline tests (reference model: tests/test_data.py)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -199,3 +201,61 @@ def test_rect_loader_batches(synthetic_dataset):
         n = int(b["nboxes"].max())
         assert n >= 1
         assert b["targets"][..., 1:5].max() <= 1.0 + 1e-6
+
+
+def _write_voc_xml(path, w, h, objects):
+    """objects: list of (name, xmin, ymin, xmax, ymax, difficult)."""
+    objs = "".join(
+        f"<object><name>{n}</name><difficult>{d}</difficult>"
+        f"<bndbox><xmin>{x1}</xmin><ymin>{y1}</ymin>"
+        f"<xmax>{x2}</xmax><ymax>{y2}</ymax></bndbox></object>"
+        for n, x1, y1, x2, y2, d in objects)
+    path.write_text(
+        f"<annotation><size><width>{w}</width><height>{h}</height>"
+        f"<depth>3</depth></size>{objs}</annotation>")
+
+
+def test_voc_xml_to_yolo(tmp_path):
+    from yolo_re_tpu.data.voc import voc_xml_to_yolo
+
+    xml = tmp_path / "a.xml"
+    _write_voc_xml(xml, 200, 100, [
+        ("dog", 50, 25, 150, 75, 0),      # center (100,50), size (100,50)
+        ("cat", 0, 0, 20, 20, 1),         # difficult -> skipped
+        ("unicorn", 0, 0, 20, 20, 0),     # unknown class -> skipped
+    ])
+    lines = voc_xml_to_yolo(xml)
+    assert len(lines) == 1
+    cls, xc, yc, w, h = lines[0].split()
+    assert int(cls) == 11  # dog
+    np.testing.assert_allclose(
+        [float(xc), float(yc), float(w), float(h)], [0.5, 0.5, 0.5, 0.5])
+    assert len(voc_xml_to_yolo(xml, keep_difficult=True)) == 2
+
+
+def test_convert_voc_devkit(tmp_path):
+    from yolo_re_tpu.data.voc import convert_voc_devkit
+
+    devkit = tmp_path / "VOCdevkit"
+    for year, ids in (("VOC2007", ["000001", "000002"]),
+                      ("VOC2012", ["2012_001"])):
+        (devkit / year / "JPEGImages").mkdir(parents=True)
+        (devkit / year / "Annotations").mkdir(parents=True)
+        for img_id in ids:
+            (devkit / year / "JPEGImages" / f"{img_id}.jpg").write_bytes(b"x")
+            _write_voc_xml(devkit / year / "Annotations" / f"{img_id}.xml",
+                           100, 100, [("person", 10, 10, 90, 90, 0)])
+    main_dir = devkit / "VOC2007" / "ImageSets" / "Main"
+    main_dir.mkdir(parents=True)
+    (main_dir / "test.txt").write_text("000002\n")  # -> val split
+
+    out = tmp_path / "voc"
+    train_dir, val_dir = convert_voc_devkit(devkit, out)
+    train_imgs = sorted(p.name for p in Path(train_dir).glob("*.jpg"))
+    val_imgs = sorted(p.name for p in Path(val_dir).glob("*.jpg"))
+    assert train_imgs == ["000001.jpg", "2012_001.jpg"]
+    assert val_imgs == ["000002.jpg"]
+    assert (out / "labels" / "train" / "000001.txt").exists()
+    assert (out / "labels" / "val" / "000002.txt").exists()
+    label = (out / "labels" / "val" / "000002.txt").read_text().split()
+    assert label[0] == "14"  # person

@@ -53,6 +53,26 @@ def test_nms_agnostic():
     assert dets.shape == (1, 6)
 
 
+def test_nms_classes_filter():
+    # reference utils/nms.py:57-60 — keep only the requested class indices
+    boxes = np.array([
+        [50, 50, 20, 20],
+        [200, 200, 30, 30],
+        [300, 100, 30, 30],
+    ], np.float32)
+    scores = np.zeros((3, 4), np.float32)
+    scores[0, 0] = 0.9
+    scores[1, 2] = 0.8
+    scores[2, 3] = 0.7
+    pred = make_pred(boxes, scores)
+    dets = nms_to_list(non_max_suppression(pred, classes=(0, 3)))[0]
+    assert dets.shape == (2, 6)
+    assert sorted(dets[:, 5]) == [0, 3]
+    dets = nms_to_list(non_max_suppression(pred, classes=(2,)))[0]
+    assert dets.shape == (1, 6)
+    assert dets[0, 5] == 2
+
+
 def test_nms_conf_filter():
     boxes = np.array([[50, 50, 20, 20]], np.float32)
     scores = np.full((1, 2), 0.1, np.float32)

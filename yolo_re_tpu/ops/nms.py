@@ -94,7 +94,8 @@ def _default_backend(k: int) -> str:
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det",
-                                   "pre_topk", "agnostic", "backend"))
+                                   "pre_topk", "agnostic", "backend",
+                                   "classes"))
 def non_max_suppression(
     predictions: jax.Array,
     conf_thres: float = 0.25,
@@ -103,11 +104,15 @@ def non_max_suppression(
     pre_topk: int | None = None,
     agnostic: bool = False,
     backend: str = "auto",
+    classes: tuple[int, ...] | None = None,
 ) -> dict[str, jax.Array]:
     """Batched NMS over (B, A, 4 + num_classes) decoded predictions.
 
     Boxes are xywh in pixels, class scores already sigmoided — the same
-    contract as reference src/yolo/utils/nms.py:19-42.
+    contract as reference src/yolo/utils/nms.py:19-42. ``classes`` is the
+    reference's optional class filter (utils/nms.py:57-60): detections whose
+    argmax class is not in the set are dropped before suppression. It must
+    be a (hashable) tuple — it specializes the compiled program.
 
     pre_topk: fixed candidate count kept before the greedy pass (static
     shapes on TPU). None picks 2048 at mAP-eval thresholds (conf < 0.1,
@@ -138,6 +143,9 @@ def non_max_suppression(
         conf = jnp.max(cls_scores, axis=1)
         cls_idx = jnp.argmax(cls_scores, axis=1).astype(jnp.int32)
         conf = jnp.where(conf > conf_thres, conf, 0.0)
+        if classes is not None:
+            wanted = jnp.isin(cls_idx, jnp.asarray(classes, jnp.int32))
+            conf = jnp.where(wanted, conf, 0.0)
 
         conf_k, sel = jax.lax.top_k(conf, k)
         boxes = xywh2xyxy(boxes_xywh[sel])
@@ -184,7 +192,7 @@ def _suppress(boxes, boxes_off, conf_k, cls_k, *, iou_thres, max_det,
 
 @partial(jax.jit, static_argnames=("reg_max", "conf_thres", "iou_thres",
                                    "max_det", "pre_topk", "agnostic",
-                                   "backend"))
+                                   "backend", "classes"))
 def non_max_suppression_raw(
     box_logits: jax.Array,      # (B, A, 4*reg_max) raw DFL logits
     cls_logits: jax.Array,      # (B, A, nc) raw class logits
@@ -197,6 +205,7 @@ def non_max_suppression_raw(
     pre_topk: int | None = None,
     agnostic: bool = False,
     backend: str = "auto",
+    classes: tuple[int, ...] | None = None,
 ) -> dict[str, jax.Array]:
     """NMS straight from the raw head streams, with LAZY box decode.
 
@@ -227,6 +236,9 @@ def non_max_suppression_raw(
         cls_idx = jnp.argmax(cl, axis=1).astype(jnp.int32)
         conf = jax.nn.sigmoid(conf_l)
         conf = jnp.where(conf > conf_thres, conf, 0.0)
+        if classes is not None:
+            wanted = jnp.isin(cls_idx, jnp.asarray(classes, jnp.int32))
+            conf = jnp.where(wanted, conf, 0.0)
 
         conf_k, sel = jax.lax.top_k(conf, k)
         dist = dfl_decode(bl[sel].astype(jnp.float32), reg_max)   # (k, 4)
