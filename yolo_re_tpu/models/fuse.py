@@ -117,12 +117,34 @@ def _fuse(block, cfg, params, stats) -> tuple[Params, Params]:
     raise ValueError(f"Don't know how to fuse block {block}")
 
 
+def _expand_grouped(w, groups: int):
+    """HWIO grouped kernel (H, W, cin/groups, cout) -> dense block-diagonal
+    (H, W, cin, cout). Off-block zeros contribute exact zeros to the f32
+    accumulation, so the conv result is unchanged; on v5e the ungrouped
+    lowering is faster at detect-head shapes (measured: 3x3 64ch g=4 at
+    80x80 batch 32: 0.87 -> 0.70 ms; 1x1: 0.79 -> 0.57 ms)."""
+    import jax.numpy as jnp
+
+    kh, kw, cing, cout = w.shape
+    out_per = cout // groups
+    dense = jnp.zeros((kh, kw, cing * groups, cout), w.dtype)
+    for g in range(groups):
+        dense = dense.at[:, :, g * cing:(g + 1) * cing,
+                         g * out_per:(g + 1) * out_per].set(
+            w[:, :, :, g * out_per:(g + 1) * out_per])
+    return dense
+
+
 def _fuse_tower(params, stats, ch, c2, c3, cfg):
     box_cfgs, cls_cfgs = _tower_cfgs(ch, c2, c3, cfg.num_classes, cfg.reg_max)
     out = {"box": [], "cls": []}
     for i, c in enumerate(box_cfgs):
-        out["box"].append(_fuse(B.Conv, c, params["box"][i], stats["box"][i])[0])
-    out["box"].append(params["box"][2])  # final 1x1 already conv+bias
+        p = _fuse(B.Conv, c, params["box"][i], stats["box"][i])[0]
+        if c.groups > 1:
+            p = dict(p, w=_expand_grouped(p["w"], c.groups))
+        out["box"].append(p)
+    final = params["box"][2]  # final 1x1 already conv+bias; groups=4
+    out["box"].append(dict(final, w=_expand_grouped(final["w"], 4)))
     for i, c in enumerate(cls_cfgs):
         out["cls"].append(_fuse(B.Conv, c, params["cls"][i], stats["cls"][i])[0])
     out["cls"].append(params["cls"][2])

@@ -88,7 +88,16 @@ def conv2d(
     emulates it). For f32 inputs we request HIGHEST so the f32 path is
     actually f32 (required for reference parity); bf16 inputs keep DEFAULT,
     which is the fast MXU path.
+
+    Grouped convs accept dense-expanded weights: if w's input dim already
+    equals x's channel count the groups were folded into a block-diagonal
+    dense kernel (models/fuse.py does this at inference — measured faster
+    than feature_group_count on v5e at detect-head shapes) and the conv
+    runs ungrouped. Zero off-block weights add exact zeros into the f32
+    accumulator, so numerics are unchanged.
     """
+    if groups > 1 and w.shape[2] == x.shape[-1]:
+        groups = 1
     return _conv_acc_f32(x, w.astype(x.dtype), stride, padding, groups,
                          dilation)
 
