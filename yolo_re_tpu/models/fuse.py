@@ -118,21 +118,13 @@ def _fuse(block, cfg, params, stats) -> tuple[Params, Params]:
 
 
 def _expand_grouped(w, groups: int):
-    """HWIO grouped kernel (H, W, cin/groups, cout) -> dense block-diagonal
-    (H, W, cin, cout). Off-block zeros contribute exact zeros to the f32
-    accumulation, so the conv result is unchanged; on v5e the ungrouped
-    lowering is faster at detect-head shapes (measured: 3x3 64ch g=4 at
-    80x80 batch 32: 0.87 -> 0.70 ms; 1x1: 0.79 -> 0.57 ms)."""
-    import jax.numpy as jnp
+    """Bake the block-diagonal dense expansion into the fused weights (the
+    ungrouped lowering is faster on v5e — measured: 3x3 64ch g=4 at 80x80
+    batch 32: 0.87 -> 0.70 ms; 1x1: 0.79 -> 0.57 ms). conv2d does the same
+    expansion on the fly for bf16 inputs; baking it here makes it free."""
+    from yolo_re_tpu.ops.conv import _block_diag_expand
 
-    kh, kw, cing, cout = w.shape
-    out_per = cout // groups
-    dense = jnp.zeros((kh, kw, cing * groups, cout), w.dtype)
-    for g in range(groups):
-        dense = dense.at[:, :, g * cing:(g + 1) * cing,
-                         g * out_per:(g + 1) * out_per].set(
-            w[:, :, :, g * out_per:(g + 1) * out_per])
-    return dense
+    return _block_diag_expand(w, groups)
 
 
 def _fuse_tower(params, stats, ch, c2, c3, cfg):

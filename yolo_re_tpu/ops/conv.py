@@ -98,8 +98,31 @@ def conv2d(
     """
     if groups > 1 and w.shape[2] == x.shape[-1]:
         groups = 1
+    elif groups > 1 and x.dtype == jnp.bfloat16:
+        # bf16 hot path (training + unfused inference): expand on the fly.
+        # The expansion is linear, so autodiff recovers the exact grouped
+        # gradients (off-block cotangents are sliced away); f32 inputs keep
+        # the grouped lowering so reference-parity numerics are untouched.
+        w = _block_diag_expand(w, groups)
+        groups = 1
     return _conv_acc_f32(x, w.astype(x.dtype), stride, padding, groups,
                          dilation)
+
+
+def _block_diag_expand(w: jax.Array, groups: int) -> jax.Array:
+    """Grouped HWIO kernel (H, W, cin/groups, cout) -> dense block-diagonal
+    (H, W, cin, cout). feature_group_count lowers poorly on v5e at small
+    channel counts; the 4x-FLOPs dense conv is measurably faster and adds
+    exact zeros into the f32 accumulator (see models/fuse.py, which bakes
+    this in for fused inference so it costs nothing per step)."""
+    kh, kw, cing, cout = w.shape
+    out_per = cout // groups
+    dense = jnp.zeros((kh, kw, cing * groups, cout), w.dtype)
+    for g in range(groups):
+        dense = dense.at[:, :, g * cing:(g + 1) * cing,
+                         g * out_per:(g + 1) * out_per].set(
+            w[:, :, :, g * out_per:(g + 1) * out_per])
+    return dense
 
 
 def _conv_raw(x, w, stride, padding, groups, dilation, preferred):
