@@ -164,3 +164,24 @@ def test_serving_detector(tiny_model, synthetic_dataset):
         assert d.shape[1] == 6
         if len(d):
             assert d[:, 0].min() >= 0 and d[:, 2].max() <= 80
+
+
+def test_serving_export_roundtrip(tiny_model, tmp_path):
+    """StableHLO export: serialized artifact reproduces the live pipeline
+    bit-for-bit (weights baked in as constants; jax.export round-trip)."""
+    from yolo_re_tpu.serving import Detector
+
+    model, params, stats = tiny_model
+    det = Detector(model, params, stats, img_size=64, conf_thres=0.001,
+                   compute_dtype="float32")
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (2, 48, 80, 3), dtype=np.uint8)
+    live = det(frames)
+
+    path = str(tmp_path / "det.stablehlo")
+    det.export(path, batch=2, height=48, width=80)
+    run = Detector.load_exported(path)
+    loaded = run(frames)
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_allclose(np.asarray(live[k]),
+                                   np.asarray(loaded[k]), rtol=1e-5, atol=1e-5)

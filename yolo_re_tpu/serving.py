@@ -125,6 +125,47 @@ class Detector:
             return out
         return self._pipeline(self.params, self.stats, images_u8)
 
+    def export(self, path: str, batch: int, *,
+               height: int | None = None, width: int | None = None,
+               platforms: tuple[str, ...] | None = None) -> None:
+        """Serialize the WHOLE pixels-to-detections program to a StableHLO
+        artifact (jax.export). Weights are baked in as constants, so the
+        file is a self-contained deployable — the TPU-native analogue of
+        shipping the reference's pickled .pt model. Input signature:
+        (batch, height, width, 3) uint8 RGB; output: the padded NMS dict.
+
+        platforms: lowering platforms to embed (e.g. ("tpu", "cpu") to
+        build an artifact on a CPU host that will run on TPU serving
+        hosts); defaults to the current backend only.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        h = height or self.img_size
+        w = width or self.img_size
+        spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
+        params, stats = self.params, self.stats
+
+        def run(images_u8):
+            return self._pipeline(params, stats, images_u8)
+
+        exported = jexport.export(
+            jax.jit(run),
+            platforms=list(platforms) if platforms else None)(spec)
+        with open(path, "wb") as f:
+            f.write(exported.serialize())
+
+    @staticmethod
+    def load_exported(path: str):
+        """Load a serialized artifact; returns a callable
+        (B, H, W, 3) uint8 -> padded NMS dict (same contract as export)."""
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            exported = jexport.deserialize(f.read())
+        return exported.call
+
     def to_list(self, out: dict[str, Any],
                 original_shapes: list[tuple[int, int]] | None = None):
         """Padded output -> per-image (n, 6) [xyxy, conf, cls] numpy, with
