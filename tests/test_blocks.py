@@ -143,3 +143,41 @@ def test_registry():
     assert B.get_block_class("Conv") is B.Conv
     with pytest.raises(ValueError):
         B.get_block_class("NopeBlock")
+
+
+def test_packed_elan_matches_fused():
+    """Width-packed stage1 rewrite (ops/packed_elan.py) must reproduce the
+    regular fused graph exactly (same f32 sums, re-associated)."""
+    from yolo_re_tpu.models.fuse import _fuse
+
+    cfg = B.RepNCSPELAN4Config(96, 256, hidden_channels=128,
+                               block_channels=64, num_repeats=2)
+    params, stats = B.RepNCSPELAN4.init(jax.random.key(0), cfg)
+    stats = jax.tree_util.tree_map(
+        lambda s: s + jax.random.uniform(jax.random.key(1), s.shape) * 0.3,
+        stats)
+    fp, fs = _fuse(B.RepNCSPELAN4, cfg, params, stats)
+    assert "packed" in fp
+
+    x = jax.random.normal(jax.random.key(2), (2, 8, 16, 96))
+    y_packed, _ = B.RepNCSPELAN4.apply(cfg, fp, fs, x, train=False)
+    fp_plain = {k: v for k, v in fp.items() if k != "packed"}
+    y_plain, _ = B.RepNCSPELAN4.apply(cfg, fp_plain, fs, x, train=False)
+    assert y_packed.shape == (2, 8, 16, 256)
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_plain),
+                               atol=2e-5)
+
+    # width not divisible by 4 -> falls back to the plain fused graph
+    x_odd = jax.random.normal(jax.random.key(3), (2, 8, 10, 96))
+    y_odd, _ = B.RepNCSPELAN4.apply(cfg, fp, fs, x_odd, train=False)
+    assert y_odd.shape == (2, 8, 10, 256)
+
+
+def test_packed_elan_not_built_for_wide_blocks():
+    from yolo_re_tpu.models.fuse import _fuse
+
+    cfg = B.RepNCSPELAN4Config(64, 128, hidden_channels=64,
+                               block_channels=32, num_repeats=1)
+    params, stats = B.RepNCSPELAN4.init(jax.random.key(0), cfg)
+    fp, _ = _fuse(B.RepNCSPELAN4, cfg, params, stats)
+    assert "packed" not in fp

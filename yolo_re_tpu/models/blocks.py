@@ -305,6 +305,12 @@ class RepNCSPELAN4:
 
     @staticmethod
     def apply(cfg: RepNCSPELAN4Config, params, stats, x, *, train=False):
+        if not train and "packed" in params and x.shape[2] % 4 == 0:
+            # Width-packed fused path (built in models/fuse.py when the
+            # block geometry qualifies — see ops/packed_elan.py).
+            from yolo_re_tpu.ops.packed_elan import apply_packed_elan
+            return apply_packed_elan(params["packed"], x,
+                                     cfg.out_channels), stats
         cin, csp1, cv1, csp2, cv2, cout = RepNCSPELAN4._sub(cfg)
         ns = {}
         y, ns["conv_in"] = Conv.apply(cin, params["conv_in"], stats["conv_in"],

@@ -68,6 +68,14 @@ def _fuse(block, cfg, params, stats) -> tuple[Params, Params]:
         out_p, out_s = {}, {}
         for name, (cls, c) in sub.items():
             out_p[name], out_s[name] = _fuse(cls, c, params[name], stats[name])
+        from yolo_re_tpu.ops import packed_elan
+        if packed_elan.supports_packing(cfg):
+            # Width-packed re-expression of the sub-128-lane stage1 graph
+            # (1.40x on v5e; see ops/packed_elan.py). The regular fused
+            # weights are kept as the fallback for widths not divisible
+            # by 4; XLA prunes whichever set the traced program ignores.
+            out_p["packed"] = packed_elan.build_packed_elan(out_p)
+            out_s["packed"] = {}
         return out_p, out_s
 
     if block is B.SPPELAN:
