@@ -181,3 +181,4 @@ def test_packed_elan_not_built_for_wide_blocks():
     params, stats = B.RepNCSPELAN4.init(jax.random.key(0), cfg)
     fp, _ = _fuse(B.RepNCSPELAN4, cfg, params, stats)
     assert "packed" not in fp
+

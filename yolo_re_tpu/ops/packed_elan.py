@@ -220,3 +220,4 @@ def apply_packed_elan(packed: Params, x: jax.Array, out_channels: int):
     cat = jnp.concatenate([ya, yb, y1, y2], -1)
     out = _pconv(cat, packed["conv_out"])
     return out.reshape(B_, H, W, out_channels)
+
