@@ -182,3 +182,27 @@ def test_packed_elan_not_built_for_wide_blocks():
     fp, _ = _fuse(B.RepNCSPELAN4, cfg, params, stats)
     assert "packed" not in fp
 
+
+
+def test_pallas_adown_matches_fused():
+    """The fused Pallas ADown kernel (packed input, interpret mode on CPU)
+    must reproduce the regular fused ADown graph."""
+    from yolo_re_tpu.models.fuse import _fuse
+    from yolo_re_tpu.ops.pallas.adown_kernel import (
+        adown_from_packed,
+        build_adown_kernel_weights,
+    )
+
+    acfg = B.ADownConfig(256, 256)
+    ap, as_ = B.ADown.init(jax.random.key(1), acfg)
+    afp, afs = _fuse(B.ADown, acfg, ap, as_)
+    wk = build_adown_kernel_weights(afp, dtype=jnp.float32)
+
+    for h, w in ((16, 16), (8, 24)):
+        x = jax.random.normal(jax.random.key(2), (2, h, w, 256))
+        y_ref, _ = B.ADown.apply(acfg, afp, afs, x, train=False)
+        xp = x.reshape(2, h, w // 2, 512)
+        y_pal = adown_from_packed(xp, wk, interpret=True)
+        assert y_pal.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                   atol=2e-5)

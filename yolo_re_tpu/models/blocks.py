@@ -415,6 +415,18 @@ class ADown:
 
     @staticmethod
     def apply(cfg: ADownConfig, params, stats, x, *, train=False):
+        if (not train and "pallas" in params
+                and x.shape[-1] == 2 * cfg.in_channels):
+            # Producer emitted the width-packed layout (models/fuse.py
+            # post-pass). On TPU run the fused Pallas kernel; elsewhere
+            # un-pack (bitwise view) and take the regular graph.
+            if jax.default_backend() == "tpu":
+                from yolo_re_tpu.ops.pallas.adown_kernel import (
+                    adown_from_packed,
+                )
+                return adown_from_packed(x, params["pallas"]), stats
+            b_, h_, wp_, c2 = x.shape
+            x = x.reshape(b_, h_, wp_ * 2, c2 // 2)
         cs, cp = ADown._sub(cfg)
         x = avg_pool2d(x, 2, 1, 0)
         half = x.shape[-1] // 2

@@ -158,4 +158,36 @@ def fuse_model(plan: Plan, params: Params, stats: Params) -> tuple[Params, Param
         out_p[step.name], out_s[step.name] = _fuse(
             step.block, step.cfg, params.get(step.name, {}),
             stats.get(step.name, {}))
+
+    # Post-pass (EXPERIMENTAL, off by default): an ADown whose sole
+    # producer is a width-packed ELAN (and is that ELAN's sole consumer)
+    # runs as one Pallas kernel over the producer's packed layout — the
+    # ELAN skips its un-packing reshape and the kernel fuses avgpool +
+    # both branches in VMEM (ops/pallas/adown_kernel.py). The kernel is
+    # numerically proven (interpret + on-chip small shapes) but its
+    # full-shape compile has wedged this environment's remote chip, and
+    # its first working version measured slower than the XLA graph —
+    # enable with YOLO_TPU_PALLAS_ADOWN=1 to continue that work.
+    import os
+    if os.environ.get("YOLO_TPU_PALLAS_ADOWN", "0") != "1":
+        return out_p, out_s
+    from yolo_re_tpu.ops.pallas.adown_kernel import (
+        C as ADOWN_C,
+        build_adown_kernel_weights,
+    )
+    consumers: dict[str, int] = {}
+    for step in plan.steps:
+        for src in step.inputs:
+            consumers[src] = consumers.get(src, 0) + 1
+    by_name = {s.name: s for s in plan.steps}
+    for step in plan.steps:
+        if (step.block is B.ADown and len(step.inputs) == 1
+                and step.cfg.in_channels == ADOWN_C):
+            prod = by_name.get(step.inputs[0])
+            if (prod is not None and "packed" in out_p.get(prod.name, {})
+                    and consumers.get(prod.name) == 1):
+                out_p[step.name]["pallas"] = build_adown_kernel_weights(
+                    out_p[step.name])
+                out_s[step.name]["pallas"] = {}
+                out_p[prod.name]["packed"]["emit_packed"] = {}
     return out_p, out_s

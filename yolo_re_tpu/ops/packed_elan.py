@@ -197,7 +197,12 @@ def _pconv(x, p, *, stride_w=1):
 
 
 def apply_packed_elan(packed: Params, x: jax.Array, out_channels: int):
-    """x: (B, H, W, cin) with W % 4 == 0 -> (B, H, W, out_channels)."""
+    """x: (B, H, W, cin) with W % 4 == 0 -> (B, H, W, out_channels).
+
+    If the fuse pass marked this block "emit_packed" (its sole consumer
+    runs on the packed layout), the final un-packing reshape is skipped
+    and the p=2-packed (B, H, W/2, 2*out_channels) tensor is returned.
+    """
     h, b = HIDDEN, BLOCK
     B_, H, W, cin = x.shape
     x2 = x.reshape(B_, H, W // 2, 2 * cin)
@@ -219,5 +224,7 @@ def apply_packed_elan(packed: Params, x: jax.Array, out_channels: int):
     y2 = _pconv(csp(y1, packed["csp2"]), packed["conv2"])
     cat = jnp.concatenate([ya, yb, y1, y2], -1)
     out = _pconv(cat, packed["conv_out"])
+    if "emit_packed" in packed:
+        return out                               # (B, H, W/2, 2*out)
     return out.reshape(B_, H, W, out_channels)
 

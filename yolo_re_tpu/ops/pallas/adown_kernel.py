@@ -1,0 +1,201 @@
+"""Pallas TPU kernel: ADown fused end-to-end from the width-packed layout.
+
+ADown (reference: src/yolo/blocks/downsample.py:24-50) is
+avgpool(2,1,0) -> channel split -> [3x3 s2 conv | maxpool(3,2,1) + 1x1
+conv] -> concat. Its XLA lowering materializes the stride-1 avgpool (a
+~420 MB tensor at stage1 shapes, measured ~2.5x off roofline) and, when
+fed by the width-packed stage1 ELAN (ops/packed_elan.py), pays an extra
+lane-relayout to un-pack the producer's output. This kernel does the
+whole block in one pass over the PACKED input:
+
+    (B, H, Wp, 2C) packed p=2 over C=256  ->  (B, H/2, Wp, 256)
+
+Per grid step (batch, row-block) it holds a (2*TO+2)-row slice in VMEM
+(double-buffered DMA: the next block streams in while the current one
+computes), forms the 2x2 window sums with a handful of VPU adds (even
+pixels = in-col phase sum, odd pixels = cross-col phase sum; the /4 is
+folded into the conv weights - max is monotone so the maxpool branch
+commutes with the scale), and computes both branches on-chip: the
+stride-2 3x3 conv as six (TO*Wp, 256)x(256, 128) MXU matmuls over
+[s_even | s_odd] lane pairs (full 128-lane contraction and output), and
+the maxpool branch as shifted maxima + one (TO*Wp, 128)x(128, 128)
+matmul. Row-parity selections are (pairs, 2) reshapes on the major dims
+(Mosaic has no strided row slice). Nothing but the input slice and the
+(TO, Wp, 256) result touches HBM.
+
+Avgpool edge semantics match torch exactly: the 'valid' avg domain is
+rows/pixels 0..H-2 / 0..W-2; outside it the conv branch sees zeros
+(zero-padding) and the maxpool branch sees -inf (torch max_pool2d
+padding) - handled by a global-row mask and last-column constructions.
+
+Numerics: same f32-accumulated sums as the fused XLA graph, re-associated
+(the folded /4 scales weights in f32 at build time); pinned by
+tests/test_blocks.py::test_pallas_adown_matches_fused (interpret mode).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+C = 256          # ADown in_channels this kernel supports (stage1 -> down1)
+HALF = C // 2
+
+
+def build_adown_kernel_weights(fused, dtype=jnp.bfloat16):
+    """Fused ADown params -> kernel weight set.
+
+    conv_stride (3,3,128,128) becomes wk (3,2,256,128): width-window
+    (col o-1, col o) over [s_even | s_odd] lanes — tap 0 reads s_odd
+    (avg pixel 2o-1), tap 1 reads s_even then s_odd (pixels 2o, 2o+1).
+    The avgpool's 1/4 is folded into both branch weights.
+    """
+    ws = np.asarray(jax.device_get(fused["conv_stride"]["w"]),
+                    np.float32) * 0.25
+    wk = np.zeros((3, 2, 2 * HALF, HALF), np.float32)
+    wk[:, 0, HALF:] = ws[:, 0]
+    wk[:, 1, :HALF] = ws[:, 1]
+    wk[:, 1, HALF:] = ws[:, 2]
+    w2 = np.asarray(jax.device_get(fused["conv_pool"]["w"]),
+                    np.float32)[0, 0] * 0.25               # (128, 128)
+    return {
+        "wk": jnp.asarray(wk, dtype),
+        "b1": jnp.asarray(np.asarray(jax.device_get(
+            fused["conv_stride"]["b"]), np.float32)[None, :]),
+        "w2": jnp.asarray(w2, dtype),
+        "b2": jnp.asarray(np.asarray(jax.device_get(
+            fused["conv_pool"]["b"]), np.float32)[None, :]),
+    }
+
+
+def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
+            *, to: int, wp: int, h: int):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nj = pl.num_programs(1)
+    step = b * nj + j
+    rows = 2 * to + 2
+
+    def dma(slot, bb, jj):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(2 * to * jj, rows)],
+            scratch.at[slot], sem.at[slot])
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, b, j).start()
+
+    @pl.when(step + 1 < nb * nj)
+    def _():
+        s2 = step + 1
+        b2 = s2 // nj
+        j2 = s2 - b2 * nj
+        dma((s2) % 2, b2, j2).start()
+
+    dma(step % 2, b, j).wait()
+    X = scratch[step % 2]                        # (rows, Wp, 2C)
+
+    q0, q1 = X[..., :C], X[..., C:]
+    q0h = q0[:-1] + q0[1:]                       # (rows-1, Wp, C) 2x2 sums
+    q1h = q1[:-1] + q1[1:]
+    s_even = q0h + q1h                           # window sum at even pixels
+    # odd pixels: q1 of col c + q0 of col c+1; last col (pixel W-1) is
+    # outside the valid avg domain -> 0 / -inf by construction
+    s_odd_body = q1h[:, :-1] + q0h[:, 1:]        # (rows-1, Wp-1, C)
+
+    # global avg row of local row i: g = 2*to*j - 1 + i (input zero-padded
+    # one row top/bottom); valid iff 0 <= g <= h-2
+    g = (jax.lax.broadcasted_iota(jnp.int32, (rows - 1, 1, 1), 0)
+         + 2 * to * j - 1)
+    row_ok = (g >= 0) & (g <= h - 2)
+
+    f32 = jnp.float32
+
+    # ---- branch 1: stride-2 3x3 conv over avg (zero padding) ----
+    # column layout [odd[-1]=0 | odd 0..Wp-2 | odd[Wp-1]=0 | even 0..Wp-1]
+    # makes all three window slices contiguous: for output col o the taps
+    # are avg pixels 2o-1 (odd o-1 -> cols 0..Wp-1), 2o+1 (odd o -> cols
+    # 1..Wp), 2o (even o -> cols Wp+1..2Wp).
+    zcol = jnp.zeros_like(s_even[:, :1, :HALF])
+    z = jnp.concatenate(
+        [zcol, s_odd_body[..., :HALF], zcol, s_even[..., :HALF]], axis=1)
+    z = jnp.where(row_ok, z, 0)
+    zpad = jnp.concatenate([z, jnp.zeros_like(z[:1])], axis=0)
+    zpair = zpad.reshape(to + 1, 2, 2 * wp + 1, HALF)
+    rows3 = (zpair[0:to, 0], zpair[0:to, 1], zpair[1:to + 1, 0])
+    acc = jnp.zeros((to * wp, HALF), f32)
+    for kh in range(3):
+        zr = rows3[kh]                           # (to, 2Wp+1, HALF)
+        o_prev = zr[:, 0:wp].reshape(to * wp, HALF)
+        t1 = jnp.concatenate(
+            [zr[:, wp + 1:2 * wp + 1], zr[:, 1:wp + 1]],
+            axis=-1).reshape(to * wp, 2 * HALF)  # [even | odd cur]
+        acc = acc + jnp.dot(o_prev, wk_ref[kh, 0, HALF:],
+                            preferred_element_type=f32)
+        acc = acc + jnp.dot(t1, wk_ref[kh, 1],
+                            preferred_element_type=f32)
+    y1 = acc + b1_ref[:]
+    y1 = y1 * jax.nn.sigmoid(y1)
+
+    # ---- branch 2: maxpool(3,2,1) over avg (-inf padding) + 1x1 conv ----
+    neg = jnp.asarray(-jnp.inf, s_even.dtype)
+    negcol = jnp.full_like(s_even[:, :1, HALF:], neg)
+    be = s_even[..., HALF:]
+    bo = jnp.concatenate([s_odd_body[..., HALF:], negcol], axis=1)
+    bo_prev = jnp.concatenate([negcol, bo[:, :-1]], axis=1)
+    m_w = jnp.maximum(jnp.maximum(bo_prev, be), bo)   # (rows-1, Wp, 128)
+    m_w = jnp.where(row_ok, m_w, neg)
+    m_w = jnp.concatenate([m_w, jnp.full_like(m_w[:1], neg)], axis=0)
+    mpair = m_w.reshape(to + 1, 2, wp, HALF)
+    m = jnp.maximum(jnp.maximum(mpair[0:to, 0], mpair[0:to, 1]),
+                    mpair[1:to + 1, 0])               # (to, Wp, 128)
+    y2 = jnp.dot(m.reshape(to * wp, HALF).astype(wk_ref.dtype), w2_ref[:],
+                 preferred_element_type=f32) + b2_ref[:]
+    y2 = y2 * jax.nn.sigmoid(y2)
+
+    out = jnp.concatenate([y1, y2], axis=-1).reshape(1, to, wp, C)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False):
+    """xp: (B, H, Wp, 512) width-packed p=2 over 256ch -> (B, H/2, Wp, 256).
+
+    The producer view of the unpacked tensor is (B, H, 2*Wp, 256).
+    """
+    B, h, wp, c2 = xp.shape
+    assert c2 == 2 * C
+    h_out = h // 2
+    # TO=8 keeps peak VMEM (double-buffered scratch + the avg/branch
+    # intermediates) around 9 MB — TO=16 exceeds the ~16 MB v5e VMEM.
+    to = next(t for t in (8, 4, 2, 1) if h_out % t == 0)
+    xpad = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0)))
+
+    dtype = xp.dtype
+    kernel = partial(_kernel, to=to, wp=wp, h=h)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, h_out, wp, C), dtype),
+        grid=(B, h_out // to),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),             # x (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # wk
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # b1
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),         # b2
+        ],
+        out_specs=pl.BlockSpec((1, to, wp, C),
+                               lambda b, j: (b, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * to + 2, wp, 2 * C), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xpad, weights["wk"].astype(dtype), weights["b1"],
+      weights["w2"].astype(dtype), weights["b2"])
