@@ -56,3 +56,14 @@ def test_val_cli(tiny_model_path, tiny_weights, synthetic_dataset):
     # random weights: mAP is a finite number in [0, 1]
     val = float(r.stdout.split("map50=")[1].split()[0])
     assert 0.0 <= val <= 1.0
+
+
+def test_export_serving_cli(tiny_model_path, tiny_weights, tmp_path):
+    out = tmp_path / "tiny.stablehlo"
+    r = run_cli(["scripts/export_serving.py", "--weights", tiny_weights,
+                 "--config", tiny_model_path, "--out", str(out),
+                 "--batch", "2", "--img-size", "64", "--num-classes", "8",
+                 "--dtype", "float32", "--verify"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "verify: artifact output matches live pipeline" in r.stdout
+    assert out.exists() and out.stat().st_size > 1000
