@@ -100,6 +100,24 @@ def stage_stem():
     t = device_timer(lambda a: a * 1.0001, xf, iters=100)
     print(f"elementwise on flat  : {t*1e3:.3f} ms", flush=True)
 
+    # NCHW input (lanes = W, dense storage), NHWC output
+    xn = jnp.asarray(rng.standard_normal((32, 3, 640, 640)), jnp.bfloat16)
+
+    def conv_nchw(a):
+        y = jax.lax.conv_general_dilated(
+            a, w, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NCHW", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return jax.nn.silu(y).astype(a.dtype)
+
+    t = device_timer(conv_nchw, xn, iters=100)
+    print(f"stem1 NCHW input     : {t*1e3:.3f} ms", flush=True)
+
+    # in-graph transpose from NCHW then normal NHWC conv
+    t = device_timer(lambda a: conv(a.transpose(0, 2, 3, 1), w), xn,
+                     iters=100)
+    print(f"stem1 NCHW+transpose : {t*1e3:.3f} ms", flush=True)
+
 
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
