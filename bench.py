@@ -34,7 +34,8 @@ BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 SIZE = int(os.environ.get("BENCH_SIZE", "640"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MODEL = os.environ.get("BENCH_MODEL", "gelan-c")
-MODE = os.environ.get("BENCH_MODE", "fused_loop")  # fused_loop | dispatch | train
+# fused_loop | dispatch | train | serving | latency
+MODE = os.environ.get("BENCH_MODE", "fused_loop")
 REMAT = os.environ.get("BENCH_REMAT", "0") == "1"   # train mode: per-block remat
 
 
@@ -108,9 +109,58 @@ def bench_train() -> None:
     }))
 
 
+def bench_serving() -> None:
+    """Production serving path: raw uint8 frames -> device letterbox ->
+    fused bf16 forward -> NMS (the whole `serving.Detector` program), timed
+    as a fused on-device loop. Includes everything a deployment pays per
+    batch except the host->device copy of the 4x-smaller uint8 frames."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.serving import Detector
+
+    model = YOLO.from_yaml(f"configs/models/{MODEL}.yaml")
+    params, stats = model.init(jax.random.key(0))
+    det = Detector(model, params, stats, img_size=SIZE)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.integers(0, 255, (BATCH, SIZE, SIZE, 3)), jnp.uint8)
+    params, stats = det.params, det.stats
+
+    @jax.jit
+    def loop(params, stats, frames):
+        def body(i, carry):
+            acc, f = carry
+            out = det._pipeline(params, stats, f)
+            s = out["scores"].sum()
+            # data feedback so LICM cannot hoist the pipeline out
+            f = (f + (s > jnp.float32(1e30)).astype(jnp.uint8))
+            return acc + s, f
+        acc, _ = jax.lax.fori_loop(0, ITERS, body, (jnp.float32(0), frames))
+        return acc
+
+    float(loop(params, stats, frames))
+    t0 = time.perf_counter()
+    float(loop(params, stats, frames))
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} serving "
+                  f"uint8->detections ({jax.devices()[0].platform})",
+        "value": round(BATCH * ITERS / dt, 2),
+        "unit": "images/sec",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     if MODE == "train":
         bench_train()
+        return
+    if MODE == "serving":
+        bench_serving()
         return
 
     import jax
@@ -179,6 +229,15 @@ def main() -> None:
         if ref:
             vs_baseline = images_per_sec / ref
 
+    if MODE == "latency":
+        print(json.dumps({
+            "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} latency incl. "
+                      f"NMS ({jax.devices()[0].platform})",
+            "value": round(dt / ITERS * 1e3, 3),
+            "unit": "ms/batch",
+            "vs_baseline": None,
+        }))
+        return
     print(json.dumps({
         "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} inference incl. NMS "
                   f"({jax.devices()[0].platform})",
