@@ -307,7 +307,11 @@ class RepNCSPELAN4:
     def apply(cfg: RepNCSPELAN4Config, params, stats, x, *, train=False):
         if not train and "packed" in params and x.shape[2] % 4 == 0:
             # Width-packed fused path (built in models/fuse.py when the
-            # block geometry qualifies — see ops/packed_elan.py).
+            # block geometry qualifies — see ops/packed_elan.py). Batch
+            # scaling note: the win is large at batch 32 (+23 img/s e2e)
+            # and washes out at batch 128 (917.5 gated-off vs 917.7 on —
+            # the direct lowering's utilization catches up), so the path
+            # stays on unconditionally.
             from yolo_re_tpu.ops.packed_elan import apply_packed_elan
             return apply_packed_elan(params["packed"], x,
                                      cfg.out_channels), stats
