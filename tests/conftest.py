@@ -28,11 +28,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # backend is initialized, so set platform + virtual device count through it.
 import jax
 
+from yolo_re_tpu.utils.platform import cache_dir
+
 jax.config.update("jax_platforms",
                   os.environ.get("YOLO_TPU_TEST_PLATFORM", "cpu"))
 jax.config.update("jax_num_cpu_devices", 8)
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+# Cache dir keyed on the host CPU's feature flags: this VM migrates across
+# physical hosts, and XLA:CPU AOT artifacts cached on one host can SIGILL
+# on another (intermittent "Fatal Python error: Aborted" mid-suite).
+jax.config.update("jax_compilation_cache_dir", cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np

@@ -13,7 +13,34 @@ parity checks.
 
 from __future__ import annotations
 
+import hashlib
 import os
+
+
+def _cpu_fingerprint() -> str:
+    """Hash of the host's CPU feature flags.
+
+    The persistent compilation cache stores XLA:CPU AOT executables
+    compiled for the machine features detected at compile time. This VM
+    migrates across physical hosts with different feature sets; reusing
+    an artifact across that boundary intermittently SIGILLs ("Fatal
+    Python error: Aborted" mid-suite). Keying the cache dir on the flags
+    keeps each host population separate.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nofpr"
+
+
+def cache_dir() -> str:
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_comp_cache"))
+    return f"{base}-{_cpu_fingerprint()}"
 
 
 def select_platform(platform: str | None = None) -> None:
@@ -33,7 +60,5 @@ def select_platform(platform: str | None = None) -> None:
     if platform:
         jax.config.update("jax_platforms", platform)
 
-    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                           os.path.expanduser("~/.cache/jax_comp_cache"))
-    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_compilation_cache_dir", cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
