@@ -74,7 +74,7 @@ def build_adown_kernel_weights(fused, dtype=jnp.bfloat16):
 
 
 def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
-            *, to: int, wp: int, h: int):
+            *, to: int, wp: int, h: int, wp_true: int):
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -139,32 +139,41 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
     g = (jax.lax.broadcasted_iota(jnp.int32, (rows - 1, 1, 1), 0)
          + 2 * to * j - 1)
     row_ok = (g >= 0) & (g <= h - 2)
+    # odd pixel 2c+1 is valid iff 2c+1 <= W-2, i.e. c < wp_true - 1 (with
+    # width padded to a sublane multiple, cols >= wp_true-1 are invalid)
+    odd_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, wp - 1, 1), 1)
+              < wp_true - 1)
 
     f32 = jnp.float32
 
     # ---- branch 1: stride-2 3x3 conv over avg (zero padding) ----
-    # column layout [odd[-1]=0 | odd 0..Wp-2 | odd[Wp-1]=0 | even 0..Wp-1]
-    # makes all three window slices contiguous: for output col o the taps
-    # are avg pixels 2o-1 (odd o-1 -> cols 0..Wp-1), 2o+1 (odd o -> cols
-    # 1..Wp), 2o (even o -> cols Wp+1..2Wp).
+    # Output col o reads avg pixels 2o-1 (odd col o-1), 2o (even col o),
+    # 2o+1 (odd col o). Each source is materialized as its own aligned
+    # (rows-1, Wp, 128) array and contracted separately — lane-concats of
+    # differently-offset slices hit a Mosaic "offset mismatch" limit at
+    # widths not divisible by 16, and the split matmuls cost the same
+    # MXU work anyway.
     zcol = jnp.zeros_like(s_even[:, :1, :HALF])
-    z = jnp.concatenate(
-        [zcol, s_odd_body[..., :HALF], zcol, s_even[..., :HALF]], axis=1)
-    z = jnp.where(row_ok, z, 0)
-    zpad = jnp.concatenate([z, jnp.zeros_like(z[:1])], axis=0)
-    zpair = zpad.reshape(to + 1, 2, 2 * wp + 1, HALF)
-    rows3 = (zpair[0:to, 0], zpair[0:to, 1], zpair[1:to + 1, 0])
+    ze = jnp.where(row_ok, s_even[..., :HALF], 0)
+    zo = jnp.where(row_ok & odd_ok, s_odd_body[..., :HALF], 0)
+    z_prev = jnp.concatenate([zcol, zo], axis=1)        # odd col o-1
+    z_cur = jnp.concatenate([zo, zcol], axis=1)         # odd col o
+
+    def pairs(a):
+        # avg row 2i+kh for output row i via a (pairs, 2) major reshape
+        a = jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
+        return a.reshape(to + 1, 2, wp, HALF)
+
+    pe, pp, pc = pairs(ze), pairs(z_prev), pairs(z_cur)
     acc = jnp.zeros((to * wp, HALF), f32)
-    for kh in range(3):
-        zr = rows3[kh]                           # (to, 2Wp+1, HALF)
-        o_prev = zr[:, 0:wp].reshape(to * wp, HALF)
-        t1 = jnp.concatenate(
-            [zr[:, wp + 1:2 * wp + 1], zr[:, 1:wp + 1]],
-            axis=-1).reshape(to * wp, 2 * HALF)  # [even | odd cur]
-        acc = acc + jnp.dot(o_prev, wk_ref[kh, 0, HALF:],
-                            preferred_element_type=f32)
-        acc = acc + jnp.dot(t1, wk_ref[kh, 1],
-                            preferred_element_type=f32)
+    for kh, sel in enumerate((lambda q: q[0:to, 0], lambda q: q[0:to, 1],
+                              lambda q: q[1:to + 1, 0])):
+        acc = acc + jnp.dot(sel(pp).reshape(to * wp, HALF),
+                            wk_ref[kh, 0, HALF:], preferred_element_type=f32)
+        acc = acc + jnp.dot(sel(pe).reshape(to * wp, HALF),
+                            wk_ref[kh, 1, :HALF], preferred_element_type=f32)
+        acc = acc + jnp.dot(sel(pc).reshape(to * wp, HALF),
+                            wk_ref[kh, 1, HALF:], preferred_element_type=f32)
     y1 = acc + b1_ref[:]
     y1 = y1 * jax.nn.sigmoid(y1)
 
@@ -172,7 +181,8 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
     neg = jnp.asarray(-jnp.inf, s_even.dtype)
     negcol = jnp.full_like(s_even[:, :1, HALF:], neg)
     be = s_even[..., HALF:]
-    bo = jnp.concatenate([s_odd_body[..., HALF:], negcol], axis=1)
+    bo_body = jnp.where(row_ok & odd_ok, s_odd_body[..., HALF:], neg)
+    bo = jnp.concatenate([bo_body, negcol], axis=1)
     bo_prev = jnp.concatenate([negcol, bo[:, :-1]], axis=1)
     m_w = jnp.maximum(jnp.maximum(bo_prev, be), bo)   # (rows-1, Wp, 128)
     m_w = jnp.where(row_ok, m_w, neg)
@@ -193,16 +203,21 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False):
 
     The producer view of the unpacked tensor is (B, H, 2*Wp, 256).
     """
-    B, h, wp, c2 = xp.shape
+    B, h, wp_true, c2 = xp.shape
     assert c2 == 2 * C
     h_out = h // 2
     # TO=8 keeps peak VMEM (double-buffered scratch + the avg/branch
     # intermediates) around 9 MB — TO=16 exceeds the ~16 MB v5e VMEM.
     to = next(t for t in (8, 4, 2, 1) if h_out % t == 0)
+    # Mosaic requires sublane (the packed-col dim) slices in multiples of
+    # 8: pad the width, mask the edge column inside, slice the output.
+    wp = (wp_true + 7) // 8 * 8
+    if wp != wp_true:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - wp_true), (0, 0)))
 
     dtype = xp.dtype
-    kernel = partial(_kernel, to=to, wp=wp, h=h)
-    return pl.pallas_call(
+    kernel = partial(_kernel, to=to, wp=wp, h=h, wp_true=wp_true)
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, h_out, wp, C), dtype),
         grid=(B, h_out // to),
@@ -223,3 +238,4 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False):
         interpret=interpret,
     )(xp, weights["wk"].astype(dtype), weights["b1"],
       weights["w2"].astype(dtype), weights["b2"])
+    return out if wp == wp_true else out[:, :, :wp_true]
