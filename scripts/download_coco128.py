@@ -34,6 +34,10 @@ def main() -> None:
         urllib.request.urlretrieve(args.url, zip_path)
 
     with zipfile.ZipFile(zip_path) as zf:
+        for m in zf.namelist():  # refuse path-traversal members
+            target = (out.parent / m).resolve()
+            if not str(target).startswith(str(out.parent.resolve())):
+                raise ValueError(f"unsafe zip member: {m}")
         zf.extractall(out.parent)
 
     src = out.parent / "coco128"

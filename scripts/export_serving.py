@@ -11,6 +11,11 @@ Example:
     python scripts/export_serving.py --weights best.npz \\
         --config configs/models/gelan-c.yaml --batch 8 \\
         --out gelan-c.stablehlo --platforms tpu cpu
+
+Trade-off: a multi-platform request (or one targeting a platform other
+than the exporting host's) drops the Pallas ADown fast path from the
+traced program — Mosaic custom calls only lower on TPU. Export with
+`--platforms tpu` ON a TPU host to keep the kernel in the artifact.
 """
 
 from __future__ import annotations

@@ -45,7 +45,8 @@ def download_and_extract(out: Path) -> Path:
             urllib.request.urlretrieve(url, tar_path)
         print(f"extracting {name}")
         with tarfile.open(tar_path) as tf:
-            tf.extractall(out)
+            # The mirrors serve plain http; refuse path-traversal members.
+            tf.extractall(out, filter="data")
         tar_path.unlink()
         marker.touch()
     return out / "VOCdevkit"

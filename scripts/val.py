@@ -42,18 +42,13 @@ def main() -> None:
     args = ap.parse_args()
 
     from yolo_re_tpu import YOLO
-    from yolo_re_tpu.convert.torch_import import load_params
     from yolo_re_tpu.data.config import DataConfig
     from yolo_re_tpu.data.dataset import create_dataloader
     from yolo_re_tpu.eval.evaluator import Evaluator
-    from yolo_re_tpu.train.checkpoint import load_checkpoint
+    from yolo_re_tpu.train.checkpoint import load_weights
 
     model = YOLO.from_yaml(args.config, num_classes=args.num_classes)
-    try:
-        params, stats = load_params(args.weights)
-    except Exception:
-        ckpt = load_checkpoint(args.weights)
-        params, stats = ckpt["ema"]["params"], ckpt["ema"]["stats"]
+    params, stats = load_weights(args.weights)
 
     data = DataConfig(
         train_path=args.data, val_path=args.data,

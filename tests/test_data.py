@@ -170,10 +170,39 @@ def test_rect_mode(synthetic_dataset):
 def test_augment_config_presets():
     full = AugmentConfig("full")
     assert full.mosaic == 1.0 and full.mixup == 0.15 and full.scale == 0.9
-    light = AugmentConfig("light", mosaic=0.5)
-    assert light.mosaic == 0.5 and light.mixup == 0.0
+    light = AugmentConfig("light", mosaic=0.9)
+    assert light.mosaic == 0.9 and light.mixup == 0.0
     with pytest.raises(ValueError):
         AugmentConfig("nope")
+
+
+# The reference's preset table verbatim (src/yolo/data/config.py:24-73),
+# with its flipud/fliplr spelled flip_ud/flip_lr here. Every geometric/HSV
+# field of every preset must match — fine-tuning with any preset has to
+# produce the reference's augmentation distribution.
+_REFERENCE_PRESETS = {
+    "full": dict(mosaic=1.0, mosaic_scale=(0.5, 1.5), mixup=0.15,
+                 hsv_h=0.015, hsv_s=0.7, hsv_v=0.4, degrees=0.0,
+                 translate=0.1, scale=0.9, shear=0.0, perspective=0.0,
+                 flip_ud=0.0, flip_lr=0.5),
+    "light": dict(mosaic=0.5, mosaic_scale=(0.8, 1.2), mixup=0.0,
+                  hsv_h=0.01, hsv_s=0.5, hsv_v=0.3, degrees=0.0,
+                  translate=0.1, scale=0.5, shear=0.0, perspective=0.0,
+                  flip_ud=0.0, flip_lr=0.5),
+    "minimal": dict(mosaic=0.0, mosaic_scale=(1.0, 1.0), mixup=0.0,
+                    hsv_h=0.0, hsv_s=0.0, hsv_v=0.0, degrees=0.0,
+                    translate=0.0, scale=0.0, shear=0.0, perspective=0.0,
+                    flip_ud=0.0, flip_lr=0.5),
+}
+
+
+@pytest.mark.parametrize("preset", ["full", "light", "minimal"])
+def test_augment_presets_match_reference_field_by_field(preset):
+    cfg = AugmentConfig(preset)
+    for name, want in _REFERENCE_PRESETS[preset].items():
+        got = getattr(cfg, name)
+        assert tuple(got) == want if isinstance(want, tuple) else got == want, \
+            f"{preset}.{name}: ours {got!r} != reference {want!r}"
 
 
 def test_data_config_yaml(tmp_path):

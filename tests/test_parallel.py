@@ -153,7 +153,10 @@ print("DEVAUG_OK")
                            capture_output=True, text=True, timeout=600)
         if r.returncode == 0 and "DEVAUG_OK" in r.stdout:
             return
-        if attempt == 0 and r.returncode < 0:
-            continue                     # killed by signal: known flake
+        if attempt == 0 and r.returncode == -6:
+            # ONLY the known XLA:CPU shutdown SIGABRT flake is retried;
+            # any other signal (e.g. a real SIGSEGV) must fail loudly.
+            print(f"retrying after known SIGABRT flake:\n{r.stderr[-500:]}")
+            continue
         raise AssertionError(
             f"subprocess rc={r.returncode}\n{r.stderr[-2000:]}")

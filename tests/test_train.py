@@ -227,6 +227,60 @@ def test_trainer_dual_head(tiny_dual_model_path, synthetic_dataset):
     assert np.all(np.isfinite(items))
 
 
+def test_trainer_optimizer_injection_optax(tiny_model_path,
+                                           synthetic_dataset):
+    """The reference Trainer accepts a user optimizer (trainer.py:120-132;
+    its Modal path trains with plain Adam, train_modal.py:514). Here the
+    analogue is an optax GradientTransformation."""
+    import optax
+
+    from yolo_re_tpu.data.config import AugmentConfig, DataConfig
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.train.trainer import Trainer
+
+    model = YOLO.from_yaml(tiny_model_path)
+    data = DataConfig(train_path=synthetic_dataset, num_classes=8,
+                      img_size=64, batch_size=4, workers=2, max_boxes=16,
+                      augment=AugmentConfig("minimal"))
+    trainer = Trainer(model, data=data, epochs=3, data_parallel=False,
+                      optimizer=optax.adam(1e-3),
+                      output_dir="/tmp/yolo_tpu_test_optax")
+    first = trainer.train_one_epoch(0)
+    last = trainer.train_one_epoch(1)
+    last = trainer.train_one_epoch(2)
+    assert np.all(np.isfinite(last))
+    assert last.sum() < first.sum()
+
+
+def test_trainer_optimizer_injection_pair(tiny_model_path,
+                                          synthetic_dataset):
+    """(init_fn, step_fn) form: plain SGD written by hand — the params
+    must move exactly as the injected rule dictates."""
+    from yolo_re_tpu.data.config import AugmentConfig, DataConfig
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.train.trainer import Trainer
+
+    def init_fn(params):
+        return {}
+
+    def step_fn(params, grads, state, step):
+        new = jax.tree.map(lambda p, g: p - 0.01 * g, params, grads)
+        return new, state
+
+    model = YOLO.from_yaml(tiny_model_path)
+    data = DataConfig(train_path=synthetic_dataset, num_classes=8,
+                      img_size=64, batch_size=4, workers=2, max_boxes=16,
+                      augment=AugmentConfig("minimal"))
+    trainer = Trainer(model, data=data, epochs=1, data_parallel=False,
+                      optimizer=(init_fn, step_fn),
+                      output_dir="/tmp/yolo_tpu_test_optpair")
+    before = np.asarray(trainer.params["stem1"]["w"]).copy()
+    items = trainer.train_one_epoch(0)
+    assert np.all(np.isfinite(items))
+    after = np.asarray(trainer.params["stem1"]["w"])
+    assert not np.array_equal(before, after)
+
+
 def test_trainer_full_loop_and_resume(tiny_model_path, synthetic_dataset,
                                       tmp_path):
     """trainer.train() end to end: validates on EMA, writes best/last
@@ -252,6 +306,11 @@ def test_trainer_full_loop_and_resume(tiny_model_path, synthetic_dataset,
     assert (out / "metrics.jsonl").exists()
     lines = [json.loads(l) for l in open(out / "metrics.jsonl")]
     assert len(lines) == 2 and "val_map50" in lines[-1]
+    # per-epoch validation debug dumps, like the reference's evaluator
+    # (src/yolo/eval/evaluator.py:164-196 via trainer.py:326)
+    epoch_dirs = sorted((out / "debug").glob("epoch*"))
+    assert epoch_dirs, "validate() wrote no debug images"
+    assert any(list(d.glob("*.jpg")) for d in epoch_dirs)
 
     # resume: epoch counter, step counter, weights all restored
     trainer2 = Trainer(model, data=data, epochs=3, data_parallel=False,

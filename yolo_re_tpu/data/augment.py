@@ -148,7 +148,11 @@ def random_perspective(
         new[:, [0, 2]] = new[:, [0, 2]].clip(0, width)
         new[:, [1, 3]] = new[:, [1, 3]].clip(0, height)
 
-        keep = _box_candidates(labels[:, 1:5].T * s, new.T)
+        # Perspective warps shrink projected boxes much harder than affine
+        # ones, so the survival threshold relaxes with it enabled
+        # (reference: augment.py:178-180).
+        keep = _box_candidates(labels[:, 1:5].T * s, new.T,
+                               area_thr=0.01 if perspective else 0.10)
         labels = labels[keep]
         labels[:, 1:5] = new[keep]
 

@@ -23,24 +23,31 @@ class CacheMode(Enum):
     DISK = "disk"
 
 
-# Presets match the reference's, which mirror upstream hyp.scratch-high
-# (reference: src/yolo/data/config.py:24-73).
+# Presets match the reference's field-for-field (src/yolo/data/config.py:24-73;
+# "full" mirrors upstream hyp.scratch-high). The blur/median_blur/to_gray/clahe
+# probabilities come from the reference's Albumentations transform defaults
+# (src/yolo/data/transforms.py:333-341), which only the train pipeline enables.
+# `mosaic_scale` exists in the reference config but is consumed nowhere in its
+# transforms — kept here for config-surface parity, equally unused.
 _AUGMENT_PRESETS: dict[str, dict] = {
     "full": dict(
-        mosaic=1.0, mixup=0.15, degrees=0.0, translate=0.1, scale=0.9,
-        shear=0.0, perspective=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
+        mosaic=1.0, mosaic_scale=(0.5, 1.5), mixup=0.15, degrees=0.0,
+        translate=0.1, scale=0.9, shear=0.0, perspective=0.0,
+        hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
         flip_lr=0.5, flip_ud=0.0, blur=0.01, median_blur=0.01, to_gray=0.01,
         clahe=0.01,
     ),
     "light": dict(
-        mosaic=1.0, mixup=0.0, degrees=0.0, translate=0.1, scale=0.5,
-        shear=0.0, perspective=0.0, hsv_h=0.015, hsv_s=0.7, hsv_v=0.4,
+        mosaic=0.5, mosaic_scale=(0.8, 1.2), mixup=0.0, degrees=0.0,
+        translate=0.1, scale=0.5, shear=0.0, perspective=0.0,
+        hsv_h=0.01, hsv_s=0.5, hsv_v=0.3,
         flip_lr=0.5, flip_ud=0.0, blur=0.0, median_blur=0.0, to_gray=0.0,
         clahe=0.0,
     ),
     "minimal": dict(
-        mosaic=0.0, mixup=0.0, degrees=0.0, translate=0.0, scale=0.0,
-        shear=0.0, perspective=0.0, hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
+        mosaic=0.0, mosaic_scale=(1.0, 1.0), mixup=0.0, degrees=0.0,
+        translate=0.0, scale=0.0, shear=0.0, perspective=0.0,
+        hsv_h=0.0, hsv_s=0.0, hsv_v=0.0,
         flip_lr=0.5, flip_ud=0.0, blur=0.0, median_blur=0.0, to_gray=0.0,
         clahe=0.0,
     ),
@@ -53,6 +60,7 @@ class AugmentConfig:
 
     preset: str = "full"
     mosaic: float | None = None
+    mosaic_scale: tuple[float, float] | None = None
     mixup: float | None = None
     degrees: float | None = None
     translate: float | None = None

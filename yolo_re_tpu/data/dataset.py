@@ -64,6 +64,7 @@ class YOLODataset:
         batch_size: int = 16,
         stride: int = 32,
         pad: float = 0.5,
+        seed: int = 6148914691236517205 % (2**32),
     ):
         self.path = Path(path)
         self.img_size = img_size
@@ -73,6 +74,8 @@ class YOLODataset:
         self.batch_size = batch_size
         self.stride = stride
         self.pad = pad
+        self.seed = seed
+        self.epoch = 0
 
         self.img_files = self._find_images()
         if not self.img_files:
@@ -267,8 +270,15 @@ class YOLODataset:
             sample = self.transforms(sample, rng)
         return sample
 
+    def set_epoch(self, epoch: int):
+        """Advance the per-sample RNG stream for direct-indexing users."""
+        self.epoch = epoch
+
     def __getitem__(self, idx: int):
-        rng = np.random.default_rng(abs(hash((0, idx))) % (2**32))
+        # Same counter-based (seed, epoch, index) stream as DataLoader, so
+        # direct indexing is deterministic AND re-seedable per epoch.
+        rng = np.random.default_rng(
+            (self.seed * 1000003 + self.epoch * 131071 + int(idx)) % (2**32))
         return self.get_sample(idx, rng)
 
 

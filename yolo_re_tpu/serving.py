@@ -24,6 +24,20 @@ from yolo_re_tpu.models.yolo import YOLO
 from yolo_re_tpu.ops.nms import non_max_suppression
 
 
+def _strip_pallas(tree: Any) -> Any:
+    """Drop the fuse-pass Pallas-ADown weights and the producer's
+    packed-emit marker (models/fuse.py post-pass) so a re-trace takes the
+    portable XLA graph instead of baking a TPU-only Mosaic custom call."""
+    if not isinstance(tree, dict):
+        return tree
+    out = {}
+    for k, v in tree.items():
+        if k in ("pallas", "emit_packed"):
+            continue
+        out[k] = _strip_pallas(v)
+    return out
+
+
 class Detector:
     """End-to-end detector over fused weights.
 
@@ -71,14 +85,9 @@ class Detector:
 
     @classmethod
     def from_checkpoint(cls, model: YOLO, path: str, **kwargs) -> "Detector":
-        from yolo_re_tpu.convert.torch_import import load_params
-        from yolo_re_tpu.train.checkpoint import load_checkpoint
+        from yolo_re_tpu.train.checkpoint import load_weights
 
-        try:
-            params, stats = load_params(path)
-        except Exception:
-            ckpt = load_checkpoint(path)
-            params, stats = ckpt["ema"]["params"], ckpt["ema"]["stats"]
+        params, stats = load_weights(path)
         return cls(model, params, stats, **kwargs)
 
     def _build(self):
@@ -136,7 +145,12 @@ class Detector:
 
         platforms: lowering platforms to embed (e.g. ("tpu", "cpu") to
         build an artifact on a CPU host that will run on TPU serving
-        hosts); defaults to the current backend only.
+        hosts); defaults to the current backend only. When the request is
+        multi-platform, or for a platform other than the tracing host's,
+        the Pallas ADown fast path is dropped from the traced program —
+        a Mosaic custom call only lowers on TPU, and which branch runs is
+        decided at trace time. The portable artifact keeps every XLA-level
+        optimization; the single-platform TPU export keeps the kernel.
         """
         import jax
         import jax.numpy as jnp
@@ -146,6 +160,9 @@ class Detector:
         w = width or self.img_size
         spec = jax.ShapeDtypeStruct((batch, h, w, 3), jnp.uint8)
         params, stats = self.params, self.stats
+        if platforms and (len(platforms) > 1
+                          or platforms[0] != jax.default_backend()):
+            params, stats = _strip_pallas(params), _strip_pallas(stats)
 
         def run(images_u8):
             return self._pipeline(params, stats, images_u8)

@@ -142,3 +142,34 @@ def load_checkpoint(path: str | Path) -> dict:
     out["config"] = (json.loads(bytes(cfg_bytes).decode())
                      if cfg_bytes is not None and len(cfg_bytes) else {})
     return out
+
+
+def load_weights(path: str | Path) -> tuple[dict, dict]:
+    """Load inference weights (params, stats) from any supported artifact,
+    dispatching on the file's CONTENTS rather than try/except fallthrough
+    (a corrupt file surfaces its real error, not a secondary KeyError):
+
+    - orbax checkpoint directory          -> EMA weights
+    - full training-checkpoint .npz       -> EMA weights
+    - bare converted-weights .npz         -> params/stats as stored
+    """
+    p = Path(path)
+    if p.is_dir():
+        ckpt = load_checkpoint(p)
+        return ckpt["ema"]["params"], ckpt["ema"]["stats"]
+    try:
+        data = np.load(p)
+        files = set(data.files)
+    except Exception as e:
+        raise ValueError(f"{path} is not a readable .npz weights file") from e
+    if any(k.startswith("ema_params/") for k in files):
+        ckpt = load_checkpoint(p)
+        return ckpt["ema"]["params"], ckpt["ema"]["stats"]
+    if not any(k.startswith("params/") for k in files):
+        raise ValueError(
+            f"{path} contains neither a training checkpoint (ema_params/*) "
+            f"nor bare weights (params/*); keys start with "
+            f"{sorted({k.partition('/')[0] for k in files})[:5]}")
+    from yolo_re_tpu.convert.torch_import import load_params
+
+    return load_params(str(p))

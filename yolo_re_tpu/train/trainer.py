@@ -79,8 +79,21 @@ class Trainer:
         val_loader: DataLoader | None = None,
         params=None,
         stats=None,
+        optimizer=None,
+        schedule=None,
         **overrides: Any,
     ):
+        """`optimizer` makes the update rule injectable, matching the
+        reference's replaceability contract (trainer.py:120-132,
+        docs/design.md:62-72). Accepts either an optax
+        GradientTransformation (e.g. optax.adam(1e-3), like the reference's
+        Modal path uses plain Adam) or an `(init_fn, step_fn)` pair with
+            init_fn(params) -> opt_state
+            step_fn(params, grads, opt_state, step) -> (params, opt_state)
+        None keeps the default: grouped SGD with the reference's
+        warmup-cosine schedule. `schedule` overrides that default schedule
+        (a callable step -> (lr, bias_lr, momentum)); it is unused when an
+        optimizer is injected — the injected rule owns its own LR."""
         self.model = model
         self.config = config or TrainConfig()
         for k, v in overrides.items():  # kwargs override any config field
@@ -140,11 +153,19 @@ class Trainer:
             params, stats = model.init(jax.random.key(self.config.seed))
         self.params, self.stats = params, stats
         self.labels = model.param_labels(params)
-        self.opt_bufs = init_sgd_state(params)
         self.ema = init_ema(params, stats)
 
+        self.optimizer = optimizer
+        if optimizer is None:
+            self.opt_bufs = init_sgd_state(params)
+        elif hasattr(optimizer, "init") and hasattr(optimizer, "update"):
+            self.opt_bufs = optimizer.init(params)  # optax transformation
+        else:
+            init_fn, _ = optimizer
+            self.opt_bufs = init_fn(params)
+
         steps_per_epoch = max(len(self.train_loader), 1)
-        self.schedule = WarmupCosineSchedule(
+        self.schedule = schedule or WarmupCosineSchedule(
             base_lr=self.config.lr,
             total_steps=self.config.epochs * steps_per_epoch,
             warmup_steps=int(self.config.warmup_epochs * steps_per_epoch),
@@ -184,6 +205,26 @@ class Trainer:
 
         device_aug_full = self._device_aug_full
 
+        optimizer = self.optimizer
+        if optimizer is None:
+            def apply_update(params, grads, opt_bufs, step):
+                lr, bias_lr, momentum = schedule(step)
+                return sgd_step(
+                    params, grads, opt_bufs, labels,
+                    lr=lr, bias_lr=bias_lr, momentum=momentum,
+                    weight_decay=cfg.weight_decay)
+        elif hasattr(optimizer, "update"):
+            import optax
+
+            def apply_update(params, grads, opt_bufs, step):
+                updates, opt_bufs = optimizer.update(grads, opt_bufs, params)
+                return optax.apply_updates(params, updates), opt_bufs
+        else:
+            _, step_fn = optimizer
+
+            def apply_update(params, grads, opt_bufs, step):
+                return step_fn(params, grads, opt_bufs, step)
+
         @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
         def train_step(params, stats, opt_bufs, ema, images, targets, step):
             # Cast to compute dtype BEFORE device augmentation: the mosaic
@@ -211,11 +252,7 @@ class Trainer:
             (loss, (new_stats, items)), grads = jax.value_and_grad(
                 objective, has_aux=True)(params)
             grads, gnorm = clip_by_global_norm(grads, cfg.grad_clip_norm)
-            lr, bias_lr, momentum = schedule(step)
-            params, opt_bufs = sgd_step(
-                params, grads, opt_bufs, labels,
-                lr=lr, bias_lr=bias_lr, momentum=momentum,
-                weight_decay=cfg.weight_decay)
+            params, opt_bufs = apply_update(params, grads, opt_bufs, step)
             ema = ema_update(ema, params, new_stats,
                              decay=cfg.ema_decay, tau=cfg.ema_tau)
             return params, new_stats, opt_bufs, ema, loss, items, gnorm
@@ -285,12 +322,16 @@ class Trainer:
                  epoch, dt, n_images / max(dt, 1e-9), *mean_items)
         return mean_items
 
-    def validate(self) -> dict[str, float]:
-        """Validate on EMA weights (reference: trainer.py:315-334)."""
+    def validate(self, epoch: int = 0) -> dict[str, float]:
+        """Validate on EMA weights (reference: trainer.py:315-334). Writes
+        per-epoch debug images (GT red / preds green) under
+        output_dir/debug/ like the reference's evaluator (evaluator.py:164-196)."""
         if self.val_loader is None:
             return {}
-        evaluator = Evaluator(self.model, self.val_loader)
-        return evaluator.evaluate(self.ema["params"], self.ema["stats"])
+        evaluator = Evaluator(self.model, self.val_loader,
+                              debug_dir=str(Path(self.config.output_dir) / "debug"))
+        return evaluator.evaluate(self.ema["params"], self.ema["stats"],
+                                  epoch=epoch + 1)
 
     def train(self) -> dict[str, float]:
         cfg = self.config
@@ -301,7 +342,7 @@ class Trainer:
 
             if self.val_loader is not None and cfg.val_period > 0 \
                     and (epoch + 1) % cfg.val_period == 0:
-                results = self.validate()
+                results = self.validate(epoch)
                 fitness = results.get("map50", 0.0)
                 if fitness > self.best_fitness:
                     self.best_fitness = fitness
@@ -323,18 +364,18 @@ class Trainer:
         import json
 
         out_dir.mkdir(parents=True, exist_ok=True)
-        lr, bias_lr, momentum = (float(v) for v in
-                                 self.schedule(self.global_step))
         record = {
             "epoch": epoch,
             "global_step": self.global_step,
             "box_loss": float(items[0]),
             "cls_loss": float(items[1]),
             "dfl_loss": float(items[2]),
-            "lr": lr,
-            "momentum": momentum,
             **{f"val_{k}": float(v) for k, v in results.items()},
         }
+        if self.optimizer is None:  # injected rules own their LR — don't guess
+            lr, _, momentum = (float(v) for v in
+                               self.schedule(self.global_step))
+            record["lr"], record["momentum"] = lr, momentum
         with open(out_dir / "metrics.jsonl", "a") as f:
             f.write(json.dumps(record) + "\n")
 
