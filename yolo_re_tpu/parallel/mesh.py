@@ -54,9 +54,11 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
 def pad_batch_to(batch: dict[str, Any], size: int) -> dict[str, Any]:
     """Pad the batch axis up to `size` (divisibility for sharding).
 
-    Padded images are zeros and padded targets empty, so they contribute
-    no foreground; note the padded rows still enter BN statistics and the
-    loss `* batch_size` scaling — use drop_last loaders for exact parity.
+    For INFERENCE paths only (serving/eval): BN is frozen there and padded
+    rows are sliced off the results. Training must never see padded rows —
+    they would enter the global BN batch statistics and the loss
+    `* batch_size` scaling; Trainer enforces divisible batches with
+    drop_last instead and raises on a non-divisible batch.
     """
     b = next(iter(batch.values())).shape[0]
     if b == size:
