@@ -42,6 +42,26 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 import numpy as np
 import pytest
 
+
+def _ensure_native_built() -> None:
+    """Build the native host runtime so its tests (and the native-dispatch
+    loader test) run by default instead of silently skipping."""
+    import subprocess
+
+    root = Path(__file__).resolve().parent.parent
+    so = root / "native" / "libyolo_host.so"
+    src = root / "native" / "yolo_host.cpp"
+    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+        return
+    try:
+        subprocess.run(["make", "-C", str(root / "native")], check=True,
+                       capture_output=True, timeout=180)
+    except Exception as e:  # no toolchain: the native tests will skip
+        print(f"native build skipped: {e}")
+
+
+_ensure_native_built()
+
 TINY_MODEL_YAML = """
 model:
   num_classes: 8

@@ -34,6 +34,7 @@ from yolo_re_tpu.data.transforms import (
     default_train_transforms,
     default_val_transforms,
 )
+from yolo_re_tpu.utils import native
 
 IMG_EXTENSIONS = (".bmp", ".jpg", ".jpeg", ".png", ".tif", ".tiff", ".webp")
 
@@ -225,7 +226,11 @@ class YOLODataset:
         r = self.img_size / max(h0, w0)
         if r != 1:
             interp = cv2.INTER_LINEAR if (self.augment or r > 1) else cv2.INTER_AREA
-            img = cv2.resize(img, (int(w0 * r), int(h0 * r)), interpolation=interp)
+            if interp == cv2.INTER_LINEAR and native.enabled():
+                img = native.resize_bilinear(img, int(h0 * r), int(w0 * r))
+            else:
+                img = cv2.resize(img, (int(w0 * r), int(h0 * r)),
+                                 interpolation=interp)
 
         if self.cache == CacheMode.RAM:
             self._ram_cache[idx] = (img, (h0, w0))

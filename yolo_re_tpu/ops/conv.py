@@ -248,12 +248,32 @@ def conv_bn_act(
 
     assert stats is not None
     if train:
-        yf = y.astype(jnp.float32)
-        mean = jnp.mean(yf, axis=(0, 1, 2))
-        # Two-pass variance: E[(x-mean)^2] — the one-pass E[x^2]-E[x]^2 form
-        # cancels catastrophically in f32 and costs ~1e-3 parity vs torch.
-        var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
-        n = yf.shape[0] * yf.shape[1] * yf.shape[2]
+        if in_dtype == jnp.bfloat16:
+            # bf16 training path: cast the f32 conv accumulation to bf16
+            # ONCE (fused into the conv epilogue) and compute both stat
+            # moments in a single pass over the bf16 tensor with f32
+            # accumulators. vs the f32 path below this writes the conv
+            # output at half size and reads it twice instead of three
+            # times (~2.7x less BN memory traffic — the dominant cost of
+            # the train-mode forward: 98 ms vs 41 ms fused-inference at
+            # gelan-c/640/b32). Same semantics as torch.autocast, where BN
+            # sees fp16 activations and computes f32 statistics; the
+            # one-pass E[x^2]-E[x]^2 cancellation error (~1e-6 relative
+            # here) is far below the bf16 quantization already applied to
+            # y. The f32 path keeps two-pass for exact reference parity.
+            y = y.astype(jnp.bfloat16)
+            yf = y.astype(jnp.float32)  # fused into the reduce reads
+            mean = jnp.mean(yf, axis=(0, 1, 2))
+            meansq = jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+            var = jnp.maximum(meansq - jnp.square(mean), 0.0)
+        else:
+            yf = y.astype(jnp.float32)
+            mean = jnp.mean(yf, axis=(0, 1, 2))
+            # Two-pass variance: E[(x-mean)^2] — the one-pass E[x^2]-E[x]^2
+            # form cancels catastrophically in f32 and costs ~1e-3 parity
+            # vs torch.
+            var = jnp.mean(jnp.square(yf - mean), axis=(0, 1, 2))
+        n = y.shape[0] * y.shape[1] * y.shape[2]
         # torch updates running_var with the *unbiased* batch variance.
         unbiased = var * (n / max(n - 1, 1))
         new_stats = {

@@ -49,6 +49,30 @@ def available() -> bool:
     return _lib() is not None
 
 
+def enabled() -> bool:
+    """Should the host pipeline dispatch through the native kernels?
+
+    Controlled by YOLO_TPU_NATIVE:
+      "0" (default) — cv2/numpy paths (bit-identical to the reference's
+                      OpenCV dependency chain),
+      "1"           — require the native kernels (raises if the library
+                      is not built; `make -C native`),
+      "auto"        — native when built, cv2 otherwise.
+    The native kernels match cv2 within 1-2 uint8 LSB (tests/test_native.py),
+    so "1"/"auto" trade exact cv2-bit-parity for a cv2-free host runtime.
+    """
+    mode = os.environ.get("YOLO_TPU_NATIVE", "0")
+    if mode == "0":
+        return False
+    if mode == "1":
+        if not available():
+            raise RuntimeError(
+                "YOLO_TPU_NATIVE=1 but native/libyolo_host.so is not "
+                "built; run `make -C native`")
+        return True
+    return available()
+
+
 def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     lib = _lib()
     assert lib is not None
