@@ -1,0 +1,166 @@
+"""One-shot TPU validation + micro-bench for the Pallas stem kernel.
+
+The stem conv (3->64, k3 s2 p1, SiLU; reference src/yolo/blocks/conv.py:55-93
+at cin=3) is the worst XLA-mapped layer of gelan-c on v5e: ~5 ms of a ~41 ms
+batch-32/640 forward against a ~0.6 ms memory roofline (docs/performance.md).
+ops/pallas/stem_kernel.py re-expresses it as phase-plane slabs + one MXU dot
+per output row. Stages are separately gated (a deadlocked kernel wedges the
+shared chip; see CLAUDE.md):
+
+  STAGE=kernel python scripts/tpu_validate_stem.py   # small-shape compile+run
+  STAGE=bench  ...                                   # full gelan-c/640 shapes
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_comp_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolo_re_tpu.utils.profiling import device_timer
+
+STAGE = os.environ.get("STAGE", "kernel")
+
+
+def make_weights():
+    from yolo_re_tpu.models import blocks as B
+    from yolo_re_tpu.models.fuse import _fuse
+    from yolo_re_tpu.ops.pallas.stem_kernel import build_stem_kernel_weights
+
+    cfg = B.ConvConfig(3, 64, kernel_size=3, stride=2)
+    p, s = B.Conv.init(jax.random.key(3), cfg)
+    fp, fs = _fuse(B.Conv, cfg, p, s)
+    return cfg, fp, fs, build_stem_kernel_weights(fp)
+
+
+def stage_kernel():
+    from yolo_re_tpu.models import blocks as B
+    from yolo_re_tpu.ops.pallas.stem_kernel import stem_conv
+
+    cfg, fp, fs, wk = make_weights()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)), jnp.bfloat16)
+    t0 = time.time()
+    y_pal = stem_conv(x, wk)
+    s = float(jnp.sum(y_pal.astype(jnp.float32)))
+    print(f"kernel ran in {time.time()-t0:.1f}s (sum {s:.2f})", flush=True)
+    y_ref, _ = B.Conv.apply(cfg, fp, fs, x, train=False)
+    err = float(jnp.max(jnp.abs(y_ref.astype(jnp.float32)
+                                - y_pal.astype(jnp.float32))))
+    print(f"bf16 max abs err vs fused graph: {err:.2e}", flush=True)
+
+
+def stage_bench():
+    from yolo_re_tpu.models import blocks as B
+    from yolo_re_tpu.ops.pallas.stem_kernel import stem_conv
+
+    cfg, fp, fs, wk = make_weights()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 640, 640, 3)), jnp.bfloat16)
+    t0 = device_timer(
+        lambda a: B.Conv.apply(cfg, fp, fs, a, train=False)[0], x, iters=50)
+    print(f"stem XLA conv          : {t0*1e3:.3f} ms", flush=True)
+    from yolo_re_tpu.ops.pallas.stem_kernel import stem_conv_packed
+
+    t1 = device_timer(lambda a: stem_conv(a, wk), x, iters=50)
+    print(f"stem pallas (unpacked) : {t1*1e3:.3f} ms", flush=True)
+    tp = device_timer(lambda a: stem_conv_packed(a, wk), x, iters=50)
+    print(f"stem pallas (packed)   : {tp*1e3:.3f} ms", flush=True)
+
+    def xt_only(a):
+        B, H, W, _ = a.shape
+        wo = W // 2
+        wp = -(-wo // 128) * 128
+        xt = jnp.transpose(a.reshape(B, H, wo, 6), (0, 1, 3, 2))
+        return jnp.pad(xt, ((0, 0), (0, 0), (0, 2), (0, wp - wo)))
+
+    t2 = device_timer(xt_only, x, iters=50)
+    print(f"xt transpose+pad alone : {t2*1e3:.3f} ms", flush=True)
+
+
+def stage_stem2():
+    """The following conv (64->128 k3 s2): NHWC input vs row-paired packed."""
+    from yolo_re_tpu.models import blocks as B
+    from yolo_re_tpu.models.fuse import _fuse
+    from yolo_re_tpu.ops.pallas.stem_kernel import pack_next_conv_weights
+
+    cfg = B.ConvConfig(64, 128, kernel_size=3, stride=2)
+    p, s = B.Conv.init(jax.random.key(5), cfg)
+    fp, fs = _fuse(B.Conv, cfg, p, s)
+    w2 = pack_next_conv_weights(fp)["w"].astype(jnp.bfloat16)
+    wn = fp["w"].astype(jnp.bfloat16)
+    bias = fp["b"].astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    xn = jnp.asarray(rng.standard_normal((32, 320, 320, 64)), jnp.bfloat16)
+    xp = jnp.asarray(rng.standard_normal((32, 160, 320, 128)), jnp.bfloat16)
+
+    def silu(v):
+        return v * jax.nn.sigmoid(v)
+
+    def conv_n(a):
+        y = jax.lax.conv_general_dilated(
+            a, wn, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return silu(y + bias).astype(a.dtype)
+
+    def conv_p(a):
+        y = jax.lax.conv_general_dilated(
+            a, w2, (1, 2), ((1, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return silu(y + bias).astype(a.dtype)
+
+    t0 = device_timer(conv_n, xn, iters=50)
+    print(f"stem2 XLA (NHWC in)    : {t0*1e3:.3f} ms", flush=True)
+    t1 = device_timer(conv_p, xp, iters=50)
+    print(f"stem2 XLA (packed in)  : {t1*1e3:.3f} ms", flush=True)
+
+
+def stage_model():
+    """gelan-c fused predict: stem Pallas path on vs off, decode parity."""
+    from yolo_re_tpu.models.yolo import YOLO
+
+    m = YOLO.from_yaml("configs/models/gelan-c.yaml")
+    params, stats = m.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 640, 640, 3)) * 0.5,
+                    jnp.bfloat16)
+
+    outs = {}
+    for flag in ("0", "1"):
+        os.environ["YOLO_TPU_PALLAS_STEM"] = flag
+        fp, fs = m.fuse(params, stats)
+        dec, _ = m.predict(fp, fs, x)
+        outs[flag] = np.asarray(dec.astype(jnp.float32))
+        print(f"stem={flag}: decode sum {outs[flag].sum():.3f}", flush=True)
+    d = np.max(np.abs(outs["0"] - outs["1"]))
+    rel = d / max(1e-9, np.max(np.abs(outs["0"])))
+    print(f"decode max abs diff stem on/off: {d:.3e} (rel {rel:.2e})",
+          flush=True)
+
+
+def stage_probe():
+    """Floor probes: what do the epilogue and a bare write cost?"""
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((32, 320, 320, 64)), jnp.bfloat16)
+
+    t = device_timer(lambda a: a * jax.nn.sigmoid(a), y, iters=50)
+    print(f"silu over output (bf16): {t*1e3:.3f} ms", flush=True)
+    yf = y.astype(jnp.float32)
+    t = device_timer(
+        lambda a: (a * jax.nn.sigmoid(a)).astype(jnp.bfloat16), yf, iters=50)
+    print(f"silu f32 -> bf16 cast  : {t*1e3:.3f} ms", flush=True)
+    t = device_timer(lambda a: a + jnp.bfloat16(1.0), y, iters=50)
+    print(f"add-const over output  : {t*1e3:.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    {"kernel": stage_kernel, "bench": stage_bench,
+     "probe": stage_probe, "stem2": stage_stem2, "model": stage_model}[STAGE]()

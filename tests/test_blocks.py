@@ -206,3 +206,82 @@ def test_pallas_adown_matches_fused():
         assert y_pal.shape == y_ref.shape
         np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                    atol=2e-5)
+
+
+def test_packed_next_conv_matches_unpacked():
+    """A k3 s2 p1 conv rewritten by pack_next_conv_weights over the
+    row-paired packed stem output must equal the conv on NHWC input,
+    including the top/bottom edge rows."""
+    from yolo_re_tpu.models.fuse import _fuse
+    from yolo_re_tpu.ops.pallas.stem_kernel import pack_next_conv_weights
+
+    cfg = B.ConvConfig(64, 128, kernel_size=3, stride=2)
+    p, s = B.Conv.init(jax.random.key(5), cfg)
+    fp, _ = _fuse(B.Conv, cfg, p, s)
+    w2 = pack_next_conv_weights(fp)["w"]
+
+    x = jax.random.normal(jax.random.key(6), (2, 16, 24, 64))
+    y_ref = jax.lax.conv_general_dilated(
+        x, fp["w"], (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    packed = jnp.transpose(x.reshape(2, 8, 2, 24, 64),
+                           (0, 1, 3, 2, 4)).reshape(2, 8, 24, 128)
+    y_pk = jax.lax.conv_general_dilated(
+        packed, w2, (1, 2), ((1, 0), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert y_pk.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_ref),
+                               atol=2e-5)
+
+
+def test_packed_stem_pair_end_to_end():
+    """stem_conv_packed (interpret) chained into next_conv_from_packed must
+    equal Conv(3->64,k3,s2) -> Conv(64->128,k3,s2) on the fused graph."""
+    from yolo_re_tpu.models.fuse import _fuse
+    from yolo_re_tpu.ops.pallas.stem_kernel import (
+        build_stem_kernel_weights,
+        pack_next_conv_weights,
+        stem_conv_packed,
+    )
+    from yolo_re_tpu.ops.stem_packed import next_conv_from_packed
+
+    c1 = B.ConvConfig(3, 64, kernel_size=3, stride=2)
+    c2 = B.ConvConfig(64, 128, kernel_size=3, stride=2)
+    p1, s1 = B.Conv.init(jax.random.key(7), c1)
+    p2, s2 = B.Conv.init(jax.random.key(8), c2)
+    f1, fs1 = _fuse(B.Conv, c1, p1, s1)
+    f2, fs2 = _fuse(B.Conv, c2, p2, s2)
+
+    x = jax.random.normal(jax.random.key(9), (2, 32, 48, 3))
+    y_ref, _ = B.Conv.apply(c1, f1, fs1, x, train=False)
+    y_ref, _ = B.Conv.apply(c2, f2, fs2, y_ref, train=False)
+
+    packed = stem_conv_packed(x, build_stem_kernel_weights(f1),
+                              interpret=True)
+    y_pk = next_conv_from_packed(packed, pack_next_conv_weights(f2), "silu")
+    assert y_pk.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_ref),
+                               atol=3e-5)
+
+
+def test_pallas_stem_matches_fused_conv():
+    """The Pallas stem kernel (interpret mode on CPU) must reproduce the
+    fused stem Conv (3->Cout, k3 s2 p1, SiLU) including all four edges."""
+    from yolo_re_tpu.models.fuse import _fuse
+    from yolo_re_tpu.ops.pallas.stem_kernel import (
+        build_stem_kernel_weights,
+        stem_conv,
+    )
+
+    cfg = B.ConvConfig(3, 64, kernel_size=3, stride=2)
+    p, s = B.Conv.init(jax.random.key(3), cfg)
+    fp, fs = _fuse(B.Conv, cfg, p, s)
+    wk = build_stem_kernel_weights(fp)
+
+    for bsz, h, w in ((2, 32, 32), (1, 24, 40), (1, 64, 32)):
+        x = jax.random.normal(jax.random.key(4), (bsz, h, w, 3))
+        y_ref, _ = B.Conv.apply(cfg, fp, fs, x, train=False)
+        y_pal = stem_conv(x, wk, interpret=True)
+        assert y_pal.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                   atol=2e-5)

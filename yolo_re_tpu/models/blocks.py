@@ -75,6 +75,25 @@ class Conv:
 
     @staticmethod
     def apply(cfg: ConvConfig, params, stats, x, *, train=False):
+        if not train and "pallas_stem" in params:
+            # Fused stem fast path (models/fuse.py post-pass): emit the
+            # row-paired packed layout the Pallas kernel produces —
+            # ops/pallas/stem_kernel.py. TPU only; elsewhere fall through
+            # to the regular graph (consumer detects layout by shape).
+            if (jax.default_backend() == "tpu" and x.shape[1] % 4 == 0
+                    and x.shape[2] % 2 == 0):
+                from yolo_re_tpu.ops.pallas.stem_kernel import (
+                    stem_conv_packed,
+                )
+                return stem_conv_packed(x, params["pallas_stem"]), stats
+        if (not train and "packed_rows" in params
+                and x.shape[-1] == 2 * cfg.in_channels):
+            # Consume the stem kernel's row-paired packed output: the
+            # k3 s2 conv becomes a dense (2,3)-window conv over row
+            # pairs (ops/pallas/stem_kernel.py:pack_next_conv_weights).
+            from yolo_re_tpu.ops.stem_packed import next_conv_from_packed
+            return next_conv_from_packed(x, params["packed_rows"],
+                                         cfg.activation), stats
         return conv_bn_act(
             params, stats, x,
             stride=cfg.stride,

@@ -167,6 +167,46 @@ def fuse_model(plan: Plan, params: Params, stats: Params) -> tuple[Params, Param
     # for the XLA graph PLUS the ~1.4 ms un-packing relayout the regular
     # path pays at this boundary. YOLO_TPU_PALLAS_ADOWN=0 disables.
     import os
+
+    consumers_of: dict[str, list] = {}
+    for step in plan.steps:
+        for src in step.inputs:
+            consumers_of.setdefault(src, []).append(step)
+
+    # Post-pass: the 3-channel stem conv runs as a Pallas kernel emitting
+    # a row-paired packed layout, and its sole consumer (the k3 s2 second
+    # conv) reads that layout as a dense (2,3)-window conv
+    # (ops/pallas/stem_kernel.py). Measured on v5e gelan-c/640 batch 32:
+    # stem1 2.93 ms vs 4.18, stem2 2.68 ms vs 4.41 — the NHWC layouts
+    # are T(8,128) lane-padded to 2x their size in HBM; the packed pair
+    # is exactly tiled. YOLO_TPU_PALLAS_STEM=0 disables.
+    if os.environ.get("YOLO_TPU_PALLAS_STEM", "1") == "1":
+        from yolo_re_tpu.ops.pallas.stem_kernel import (
+            build_stem_kernel_weights,
+            pack_next_conv_weights,
+        )
+        for step in plan.steps:
+            if not (step.block is B.Conv and step.cfg.in_channels == 3
+                    and step.cfg.kernel_size == 3 and step.cfg.stride == 2
+                    and step.cfg.dilation == 1 and step.cfg.groups == 1
+                    and step.cfg.padding in (None, 1)
+                    and step.cfg.activation == "silu"):
+                continue
+            cons = consumers_of.get(step.name, [])
+            if len(cons) != 1:
+                continue
+            nxt = cons[0]
+            if not (nxt.block is B.Conv and len(nxt.inputs) == 1
+                    and nxt.cfg.kernel_size == 3 and nxt.cfg.stride == 2
+                    and nxt.cfg.dilation == 1 and nxt.cfg.groups == 1
+                    and nxt.cfg.padding in (None, 1)
+                    and nxt.cfg.in_channels == step.cfg.out_channels):
+                continue
+            out_p[step.name]["pallas_stem"] = build_stem_kernel_weights(
+                out_p[step.name])
+            out_p[nxt.name]["packed_rows"] = pack_next_conv_weights(
+                out_p[nxt.name])
+
     if os.environ.get("YOLO_TPU_PALLAS_ADOWN", "1") != "1":
         return out_p, out_s
     from yolo_re_tpu.ops.pallas.adown_kernel import (
