@@ -63,7 +63,10 @@ def stage_bench():
 
     cfg, fp, fs, wk = make_weights()
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((32, 640, 640, 3)), jnp.bfloat16)
+    bsz = int(os.environ.get("BENCH_B", "32"))
+    size = int(os.environ.get("BENCH_S", "640"))
+    x = jnp.asarray(rng.standard_normal((bsz, size, size, 3)), jnp.bfloat16)
+    print(f"batch {bsz} size {size}", flush=True)
     t0 = device_timer(
         lambda a: B.Conv.apply(cfg, fp, fs, a, train=False)[0], x, iters=50)
     print(f"stem XLA conv          : {t0*1e3:.3f} ms", flush=True)
@@ -146,6 +149,132 @@ def stage_model():
           flush=True)
 
 
+def stage_slab():
+    """Does XLA's conv emitter efficiency track BATCH COUNT? The isolated
+    stem measures 4.18 ms at (32,640,...) but 5.05 ms at (128,640,...) —
+    3.3x better per pixel. Emulate batch 128 at batch 32 by slicing each
+    image into four 161-row slabs (1-row top halo, zero row for the first)
+    and convolving with no vertical padding; output rows stack back into
+    the NHWC result with a free reshape."""
+    from yolo_re_tpu.models import blocks as B
+
+    cfg, fp, fs, wk = make_weights()
+    w = fp["w"].astype(jnp.bfloat16)
+    bias = fp["b"].astype(jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 640, 640, 3)), jnp.bfloat16)
+
+    def slab_conv(a, nslab=4):
+        bsz, H, W, c = a.shape
+        sh = H // nslab
+        ap = jnp.pad(a, ((0, 0), (1, 0), (0, 0), (0, 0)))
+        slabs = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(ap, sh * s, sh + 1, axis=1)
+            for s in range(nslab)], axis=1)          # (B, n, sh+1, W, C)
+        slabs = slabs.reshape(bsz * nslab, sh + 1, W, c)
+        y = jax.lax.conv_general_dilated(
+            slabs, w, (2, 2), ((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = y + bias
+        y = (y * jax.nn.sigmoid(y)).astype(a.dtype)
+        return y.reshape(bsz, H // 2, W // 2, -1)
+
+    y_ref, _ = B.Conv.apply(cfg, fp, fs, x, train=False)
+    for n in (2, 4, 8, 16):
+        y = slab_conv(x, n)
+        err = float(jnp.max(jnp.abs(y.astype(jnp.float32)
+                                    - y_ref.astype(jnp.float32))))
+        t = device_timer(lambda a, nn=n: slab_conv(a, nn), x, iters=50)
+        print(f"stem slab-batched n={n}: {t*1e3:.3f} ms (err {err:.1e})",
+              flush=True)
+
+
+def stage_slab2():
+    """Slab-batching for stride-2 stem2 (64->128 @320^2) and a
+    stage1-representative stride-1 conv (64->64 3x3 @160^2)."""
+    rng = np.random.default_rng(0)
+
+    def silu(v):
+        return v * jax.nn.sigmoid(v)
+
+    # --- stem2: k3 s2 p1, 64->128, input (32, 320, 320, 64) ---
+    w = jnp.asarray(rng.standard_normal((3, 3, 64, 128)) * 0.05,
+                    jnp.bfloat16)
+    bias = jnp.asarray(rng.standard_normal((128,)), jnp.float32)
+    xn = jnp.asarray(rng.standard_normal((32, 320, 320, 64)), jnp.bfloat16)
+
+    def direct_s2(a):
+        y = jax.lax.conv_general_dilated(
+            a, w, (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return silu(y + bias).astype(a.dtype)
+
+    def slab_s2(a, nslab):
+        bsz, H, W, c = a.shape
+        sh = H // nslab
+        ap = jnp.pad(a, ((0, 0), (1, 0), (0, 0), (0, 0)))
+        slabs = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(ap, sh * s, sh + 1, axis=1)
+            for s in range(nslab)], axis=1)
+        slabs = slabs.reshape(bsz * nslab, sh + 1, W, c)
+        y = jax.lax.conv_general_dilated(
+            slabs, w, (2, 2), ((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = silu(y + bias).astype(a.dtype)
+        return y.reshape(bsz, H // 2, W // 2, -1)
+
+    t = device_timer(direct_s2, xn, iters=50)
+    print(f"stem2 direct    : {t*1e3:.3f} ms", flush=True)
+    yr = direct_s2(xn)
+    for n in (4, 8):
+        err = float(jnp.max(jnp.abs(slab_s2(xn, n).astype(jnp.float32)
+                                    - yr.astype(jnp.float32))))
+        t = device_timer(lambda a, nn=n: slab_s2(a, nn), xn, iters=50)
+        print(f"stem2 slab n={n} : {t*1e3:.3f} ms (err {err:.1e})",
+              flush=True)
+
+    # --- stage1-like: k3 s1 p1, 64->64, input (32, 160, 160, 64) ---
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05,
+                     jnp.bfloat16)
+    b1 = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+    x1 = jnp.asarray(rng.standard_normal((32, 160, 160, 64)), jnp.bfloat16)
+
+    def direct_s1(a):
+        y = jax.lax.conv_general_dilated(
+            a, w1, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        return silu(y + b1).astype(a.dtype)
+
+    def slab_s1(a, nslab):
+        bsz, H, W, c = a.shape
+        sh = H // nslab
+        ap = jnp.pad(a, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        slabs = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(ap, sh * s, sh + 2, axis=1)
+            for s in range(nslab)], axis=1)
+        slabs = slabs.reshape(bsz * nslab, sh + 2, W, c)
+        y = jax.lax.conv_general_dilated(
+            slabs, w1, (1, 1), ((0, 0), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = silu(y + b1).astype(a.dtype)
+        return y.reshape(bsz, H, W, -1)
+
+    t = device_timer(direct_s1, x1, iters=50)
+    print(f"s1 64ch direct    : {t*1e3:.3f} ms", flush=True)
+    yr = direct_s1(x1)
+    for n in (4, 8):
+        err = float(jnp.max(jnp.abs(slab_s1(x1, n).astype(jnp.float32)
+                                    - yr.astype(jnp.float32))))
+        t = device_timer(lambda a, nn=n: slab_s1(a, nn), x1, iters=50)
+        print(f"s1 64ch slab n={n} : {t*1e3:.3f} ms (err {err:.1e})",
+              flush=True)
+
+
 def stage_probe():
     """Floor probes: what do the epilogue and a bare write cost?"""
     rng = np.random.default_rng(0)
@@ -163,4 +292,5 @@ def stage_probe():
 
 if __name__ == "__main__":
     {"kernel": stage_kernel, "bench": stage_bench,
-     "probe": stage_probe, "stem2": stage_stem2, "model": stage_model}[STAGE]()
+     "probe": stage_probe, "stem2": stage_stem2, "model": stage_model,
+     "slab": stage_slab, "slab2": stage_slab2}[STAGE]()

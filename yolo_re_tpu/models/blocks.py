@@ -80,8 +80,14 @@ class Conv:
             # row-paired packed layout the Pallas kernel produces —
             # ops/pallas/stem_kernel.py. TPU only; elsewhere fall through
             # to the regular graph (consumer detects layout by shape).
+            # Measured gate (v5e): XLA's cin=3 conv emitter reaches
+            # roofline at batch >= ~128 (5.05 ms vs the kernel's 11.2 at
+            # batch 128/640px; e2e 885 vs 926 img/s) — take the kernel
+            # only at batch <= 64. At 320px the kernel itself is neutral
+            # (1.29 vs 1.27 ms) but the packed stem2 still wins, so no
+            # size gate (e2e 320px: 2607 on vs 2561 off).
             if (jax.default_backend() == "tpu" and x.shape[1] % 4 == 0
-                    and x.shape[2] % 2 == 0):
+                    and x.shape[2] % 2 == 0 and x.shape[0] <= 64):
                 from yolo_re_tpu.ops.pallas.stem_kernel import (
                     stem_conv_packed,
                 )

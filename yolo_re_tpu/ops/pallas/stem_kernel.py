@@ -180,7 +180,9 @@ def stem_conv_packed(x: jax.Array, weights, *, interpret: bool = False):
     ho, wo = H // 2, W // 2
     wp = -(-wo // 128) * 128
     cout = weights["w2"].shape[1] // 2
-    to = next(t for t in (16, 8, 4, 2) if ho % t == 0)
+    import os
+    tmax = int(os.environ.get("YOLO_TPU_STEM_TO", "16"))
+    to = next(t for t in (tmax, 16, 8, 4, 2) if ho % t == 0 and t <= tmax)
     dtype = x.dtype
 
     # Phase-plane view: xt[b, iy, 3*(ix%2)+cin, ix//2] = x[b, iy, ix, cin].
