@@ -264,6 +264,31 @@ def test_packed_stem_pair_end_to_end():
                                atol=3e-5)
 
 
+def test_pallas_conv3_matches_xla():
+    """The packed-native stride-1 3x3 conv kernel (interpret mode) must
+    match the XLA conv+SiLU at bf16-accumulation tolerance on all edges."""
+    from yolo_re_tpu.ops.pallas.conv3_kernel import (
+        build_conv3_weights,
+        conv3_silu,
+    )
+
+    rng = np.random.default_rng(11)
+    w = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+    wk = build_conv3_weights({"w": w, "b": b})
+    for bs, h, wd in ((2, 16, 16), (1, 8, 24), (1, 32, 16)):
+        x = jnp.asarray(rng.standard_normal((bs, h, wd, 64)), jnp.bfloat16)
+        y = conv3_silu(x, wk, interpret=True).astype(jnp.float32)
+        yr = jax.lax.conv_general_dilated(
+            x, w.astype(jnp.bfloat16), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) + b
+        yr = (yr * jax.nn.sigmoid(yr)).astype(jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(y),
+                                   np.asarray(yr.astype(jnp.float32)),
+                                   atol=0.05)
+
+
 def test_pallas_stem_matches_fused_conv():
     """The Pallas stem kernel (interpret mode on CPU) must reproduce the
     fused stem Conv (3->Cout, k3 s2 p1, SiLU) including all four edges."""
