@@ -20,7 +20,7 @@ import urllib.request
 import zipfile
 from pathlib import Path
 
-IMAGES_URL = "http://images.cocodataset.org/zips/{split}.zip"
+IMAGES_URL = "https://images.cocodataset.org/zips/{split}.zip"
 LABELS_URL = ("https://github.com/ultralytics/yolov5/releases/download/"
               "v1.0/coco2017labels.zip")
 

@@ -8,7 +8,12 @@ per output row. Stages are separately gated (a deadlocked kernel wedges the
 shared chip; see CLAUDE.md):
 
   STAGE=kernel python scripts/tpu_validate_stem.py   # small-shape compile+run
-  STAGE=bench  ...                                   # full gelan-c/640 shapes
+  STAGE=bench  ...    # stem1 XLA vs pallas (BENCH_B/BENCH_S override shape)
+  STAGE=stem2  ...    # second conv: NHWC input vs row-paired packed input
+  STAGE=model  ...    # gelan-c fused predict, stem path on/off decode parity
+  STAGE=probe  ...    # epilogue/bandwidth floor probes
+  STAGE=slab   ...    # slab-batching the cin=3 stem (large-batch regime)
+  STAGE=slab2  ...    # slab-batching stem2 + a stage1-like 64ch conv
 """
 
 import os

@@ -90,6 +90,36 @@ def test_fused_model_matches(tiny_model):
                                atol=2e-3)
 
 
+def test_fuse_attaches_and_strips_stem_keys():
+    """fuse_model must attach the Pallas-stem weight sets to the gelan-c
+    stem pair (stem1 gets pallas_stem, its consumer gets packed_rows),
+    honor YOLO_TPU_PALLAS_STEM=0, and serving._strip_pallas must remove
+    both keys for portable exports."""
+    import os
+
+    from yolo_re_tpu.models.yolo import YOLO
+    from yolo_re_tpu.serving import _strip_pallas
+
+    model = YOLO.from_yaml("configs/models/gelan-c.yaml")
+    params, stats = model.init(jax.random.key(0))
+    fp, _ = model.fuse(params, stats)
+    stem_steps = [s.name for s in model.plan.steps[:2]]
+    assert "pallas_stem" in fp[stem_steps[0]]
+    assert "packed_rows" in fp[stem_steps[1]]
+    assert fp[stem_steps[1]]["packed_rows"]["w"].shape[:2] == (2, 3)
+
+    stripped = _strip_pallas(fp)
+    assert "pallas_stem" not in stripped[stem_steps[0]]
+    assert "packed_rows" not in stripped[stem_steps[1]]
+
+    os.environ["YOLO_TPU_PALLAS_STEM"] = "0"
+    try:
+        fp0, _ = model.fuse(params, stats)
+        assert "pallas_stem" not in fp0[stem_steps[0]]
+    finally:
+        os.environ.pop("YOLO_TPU_PALLAS_STEM")
+
+
 def test_programmatic_config():
     cfg = ModelConfig(num_classes=4, layers=[
         {"name": "c1", "type": "Conv", "out_channels": 8, "kernel_size": 3,
