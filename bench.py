@@ -36,7 +36,8 @@ ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MODEL = os.environ.get("BENCH_MODEL", "gelan-c")
 # fused_loop | dispatch | train | serving | latency
 MODE = os.environ.get("BENCH_MODE", "fused_loop")
-REMAT = os.environ.get("BENCH_REMAT", "0") == "1"   # train mode: per-block remat
+_R = os.environ.get("BENCH_REMAT", "0")   # train: 1=full, early=selective
+REMAT = "early" if _R == "early" else (_R == "1")
 
 
 def bench_train() -> None:

@@ -174,8 +174,12 @@ def test_remat_grads_match(tiny_model):
                    jax.tree_util.tree_leaves(preds))
 
     g0 = jax.grad(lambda p: loss(p, False))(params)
-    g1 = jax.grad(lambda p: loss(p, True))(params)
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-5)
+    for mode in (True, "early"):
+        g1 = jax.grad(lambda p: loss(p, mode))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+    # "early" must actually select a nonempty strict subset of blocks
+    scales = [s.scale for s in model.plan.steps]
+    assert any(0 < sc <= 8 for sc in scales) and any(sc > 8 for sc in scales)

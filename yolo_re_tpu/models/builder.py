@@ -44,6 +44,9 @@ class PlanStep:
     block: Any                 # block/head class with init/apply
     cfg: Any                   # its Config dataclass
     inputs: tuple[str, ...]    # producer layer names (INPUT for the image)
+    scale: float = 0.0         # output spatial downscale vs the input image
+                               # (2 = H/2; 0 = unknown/legacy) — static,
+                               # drives the selective-remat policy
 
 
 @dataclass(frozen=True)
@@ -116,7 +119,8 @@ class PlanBuilder:
             cfg, block, out_ch, out_scale = self._build_standard(
                 btype, params, in_ch[0], in_scale[0])
 
-        self.steps.append(PlanStep(name, btype, block, cfg, inputs))
+        self.steps.append(PlanStep(name, btype, block, cfg, inputs,
+                                   scale=float(out_scale)))
         self.channel_map[name] = out_ch
         self.scale_map[name] = out_scale
         self.prev_name = name

@@ -94,7 +94,7 @@ class YOLO:
 
     def apply(self, params: Params, stats: Params, x: jax.Array, *,
               train: bool = False, head_mode: str = "full",
-              remat: bool = False):
+              remat: bool | str = False):
         """Run the plan. x is NHWC float (B, H, W, 3).
 
         Returns (head_output, new_stats). Head output:
@@ -120,11 +120,14 @@ class YOLO:
             kw = ({"mode": head_mode}
                   if step.name == self.plan.detect_name else {})
             apply_fn = partial(step.block.apply, step.cfg, train=train, **kw)
-            if remat:
+            if remat is True or (remat == "early" and 0 < step.scale <= 8):
                 # Per-block rematerialization: the backward pass recomputes
                 # each block's internals from its inputs instead of storing
                 # every activation — trades ~1 extra forward of FLOPs for
-                # the memory to fit much larger train batches.
+                # the memory to fit much larger train batches. "early"
+                # remats only the high-resolution stages (downscale <= 8),
+                # which hold most of the activation memory but a minority
+                # of the FLOPs — cheaper recompute than full remat.
                 apply_fn = jax.checkpoint(apply_fn)
             out, s = apply_fn(params.get(step.name, {}),
                               stats.get(step.name, {}), inp)

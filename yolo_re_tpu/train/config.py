@@ -39,7 +39,8 @@ class TrainConfig:
     # False | True (HSV/flip on device) | "full" (mosaic/zoom/mixup/HSV/flip
     # on device; host only decodes + letterboxes)
     device_augment: bool | str = False
-    remat: bool = False              # per-block remat: fit larger batches
+    remat: bool | str = False        # per-block remat: True=all blocks,
+                                     # "early"=downscale<=8 stages only
     grad_clip_norm: float = 10.0
 
     ema_decay: float = 0.9999
