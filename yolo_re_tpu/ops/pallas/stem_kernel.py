@@ -180,9 +180,11 @@ def stem_conv_packed(x: jax.Array, weights, *, interpret: bool = False):
     ho, wo = H // 2, W // 2
     wp = -(-wo // 128) * 128
     cout = weights["w2"].shape[1] // 2
+    # Row-block size: 32 measured ~5% faster than 16 at 640px (2.78 vs
+    # 2.93 ms) — fewer grid steps amortize the per-step DMA/weight setup.
     import os
-    tmax = int(os.environ.get("YOLO_TPU_STEM_TO", "16"))
-    to = next(t for t in (tmax, 16, 8, 4, 2) if ho % t == 0 and t <= tmax)
+    tmax = int(os.environ.get("YOLO_TPU_STEM_TO", "32"))
+    to = next(t for t in (tmax, 32, 16, 8, 4, 2) if ho % t == 0 and t <= tmax)
     dtype = x.dtype
 
     # Phase-plane view: xt[b, iy, 3*(ix%2)+cin, ix//2] = x[b, iy, ix, cin].
