@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--rect", action="store_true",
                     help="aspect-ratio-bucketed val batches")
     ap.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fold BN/RepConv (and enable the Pallas fast "
+                         "paths) before evaluating — ~2x faster, decode "
+                         "drift vs the unfused reference graph <= ~1e-3")
     ap.add_argument("--debug-dir", default=None,
                     help="dump GT/pred overlay images here")
     args = ap.parse_args()
@@ -49,6 +53,8 @@ def main() -> None:
 
     model = YOLO.from_yaml(args.config, num_classes=args.num_classes)
     params, stats = load_weights(args.weights)
+    if args.fuse:
+        params, stats = model.fuse(params, stats)
 
     data = DataConfig(
         train_path=args.data, val_path=args.data,

@@ -58,6 +58,16 @@ def test_val_cli(tiny_model_path, tiny_weights, synthetic_dataset):
     assert 0.0 <= val <= 1.0
 
 
+def test_val_cli_fused(tiny_model_path, tiny_weights, synthetic_dataset):
+    r = run_cli(["scripts/val.py", "--weights", tiny_weights,
+                 "--config", tiny_model_path,
+                 "--data", synthetic_dataset,
+                 "--num-classes", "8", "--img-size", "64",
+                 "--batch", "4", "--workers", "2", "--fuse"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "map50=" in r.stdout
+
+
 def test_export_serving_cli(tiny_model_path, tiny_weights, tmp_path):
     out = tmp_path / "tiny.stablehlo"
     r = run_cli(["scripts/export_serving.py", "--weights", tiny_weights,
