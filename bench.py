@@ -30,6 +30,34 @@ from yolo_re_tpu.utils.platform import select_platform  # noqa: E402
 
 select_platform()
 
+# Chip peak dense-matmul TFLOP/s by platform (bf16): MFU denominator.
+_PEAK_TFLOPS = {"tpu": 197.0}  # TPU v5e (v5litepod), bf16
+
+
+def _mfu(fn, args, images_per_sec, batch):
+    """(tflops, mfu) achieved by `fn` at the measured rate.
+
+    FLOPs come from XLA's compiled cost model for the SINGLE-step program
+    (the same computation the timed fori_loop repeats), so the number
+    covers everything actually executed — forward, NMS, and in train mode
+    the backward/optimizer/EMA. The compile is cached across runs.
+    """
+    import jax
+    try:
+        cost = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        return None, None
+    if flops <= 0:
+        return None, None
+    tflops = flops / batch * images_per_sec / 1e12
+    peak = _PEAK_TFLOPS.get(jax.devices()[0].platform)
+    mfu = round(tflops / peak, 4) if peak else None
+    return round(tflops, 2), mfu
+
+
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 SIZE = int(os.environ.get("BENCH_SIZE", "640"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
@@ -69,22 +97,26 @@ def bench_train() -> None:
     targets[:, :2] = [1, 0.5, 0.5, 0.3, 0.3]
     targets = jnp.asarray(targets)
 
+    def step(params, stats, bufs, ema, x, targets):
+        def obj(p):
+            preds, ns = model.apply(p, stats, x, train=True, remat=REMAT)
+            total, _ = loss_fn(preds, targets)
+            return total, ns
+
+        (total, ns), grads = jax.value_and_grad(obj, has_aux=True)(params)
+        grads, _ = clip_by_global_norm(grads, 10.0)
+        params, bufs = sgd_step(params, grads, bufs, labels, lr=1e-4,
+                                bias_lr=1e-4, momentum=0.937,
+                                weight_decay=5e-4)
+        ema = ema_update(ema, params, ns)
+        return params, ns, bufs, ema, total
+
     @jax.jit
     def loop(params, stats, bufs, ema, images, targets):
         def body(i, carry):
             params, stats, bufs, ema, x = carry
-
-            def obj(p):
-                preds, ns = model.apply(p, stats, x, train=True, remat=REMAT)
-                total, _ = loss_fn(preds, targets)
-                return total, ns
-
-            (total, ns), grads = jax.value_and_grad(obj, has_aux=True)(params)
-            grads, _ = clip_by_global_norm(grads, 10.0)
-            params, bufs = sgd_step(params, grads, bufs, labels, lr=1e-4,
-                                    bias_lr=1e-4, momentum=0.937,
-                                    weight_decay=5e-4)
-            ema = ema_update(ema, params, ns)
+            params, ns, bufs, ema, total = step(
+                params, stats, bufs, ema, x, targets)
             # data feedback so the loop body cannot be hoisted (LICM)
             x = x + (total * 1e-12).astype(x.dtype)
             return params, ns, bufs, ema, x
@@ -100,13 +132,18 @@ def bench_train() -> None:
     t0 = time.perf_counter()
     float(loop(params, stats, bufs, ema, images, targets))
     dt = time.perf_counter() - t0
+    rate = BATCH * ITERS / dt
+    tflops, mfu = _mfu(step, (params, stats, bufs, ema, images, targets),
+                       rate, BATCH)
     print(json.dumps({
         "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} train step"
-                  f"{' remat' if REMAT else ''} "
+                  f"{f' remat={_R}' if REMAT else ''} "
                   f"({jax.devices()[0].platform})",
-        "value": round(BATCH * ITERS / dt, 2),
+        "value": round(rate, 2),
         "unit": "images/sec",
         "vs_baseline": None,
+        "tflops": tflops,
+        "mfu": mfu,
     }))
 
 
@@ -147,12 +184,16 @@ def bench_serving() -> None:
     t0 = time.perf_counter()
     float(loop(params, stats, frames))
     dt = time.perf_counter() - t0
+    rate = BATCH * ITERS / dt
+    tflops, mfu = _mfu(det._pipeline, (params, stats, frames), rate, BATCH)
     print(json.dumps({
         "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} serving "
                   f"uint8->detections ({jax.devices()[0].platform})",
-        "value": round(BATCH * ITERS / dt, 2),
+        "value": round(rate, 2),
         "unit": "images/sec",
         "vs_baseline": None,
+        "tflops": tflops,
+        "mfu": mfu,
     }))
 
 
@@ -219,6 +260,7 @@ def main() -> None:
         dt = time.perf_counter() - t0
 
     images_per_sec = BATCH * ITERS / dt
+    tflops, mfu = _mfu(infer, (params, stats, images), images_per_sec, BATCH)
 
     vs_baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -237,6 +279,8 @@ def main() -> None:
             "value": round(dt / ITERS * 1e3, 3),
             "unit": "ms/batch",
             "vs_baseline": None,
+            "tflops": tflops,
+            "mfu": mfu,
         }))
         return
     print(json.dumps({
@@ -245,6 +289,8 @@ def main() -> None:
         "value": round(images_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "tflops": tflops,
+        "mfu": mfu,
     }))
 
 

@@ -8,9 +8,10 @@
 //   - bilinear uint8 resize (cv2.resize INTER_LINEAR semantics)
 //   - letterbox: aspect-preserving resize + constant pad 114
 //   - HSV LUT augmentation (BGR in-place, cv2-equivalent full-swing HSV)
-//   - greedy NMS on (score-sorted) boxes — the torchvision.ops.nms analog
-//     for host-side fallback paths
-//   - 4-tile mosaic composition into a 2s x 2s canvas
+//   - mosaic tile blit (bounds-checked copy into the 2s x 2s canvas)
+//
+// NMS is NOT here: it runs on-device (ops/nms.py scan + Pallas kernel);
+// a host greedy NMS had no product call site and was removed.
 //
 // Build: make -C native   (g++ -O3 -shared; no external dependencies)
 
@@ -121,52 +122,6 @@ void letterbox_u8(const uint8_t* src, int sh, int sw, int channels,
   ratio_out[1] = r;
   pad_out[0] = dw;
   pad_out[1] = dh;
-}
-
-// --------------------------------------------------------------------------
-// Greedy NMS. boxes: (n, 4) xyxy f32, scores: (n,) f32. Writes kept indices
-// (score-descending) into keep_out; returns count (<= max_det).
-// torchvision.ops.nms-equivalent (reference fallback: utils/nms.py:107-128).
-// --------------------------------------------------------------------------
-int nms_f32(const float* boxes, const float* scores, int n, float iou_thres,
-            int max_det, int* keep_out) {
-  if (n <= 0) return 0;
-  // argsort by score descending
-  int* order = new int[n];
-  for (int i = 0; i < n; ++i) order[i] = i;
-  std::sort(order, order + n,
-            [scores](int a, int b) { return scores[a] > scores[b]; });
-  bool* removed = new bool[n]();
-  float* areas = new float[n];
-  for (int i = 0; i < n; ++i) {
-    const float* b = boxes + 4 * i;
-    areas[i] = (b[2] - b[0]) * (b[3] - b[1]);
-  }
-  int count = 0;
-  for (int oi = 0; oi < n && count < max_det; ++oi) {
-    int i = order[oi];
-    if (removed[i]) continue;
-    keep_out[count++] = i;
-    const float* bi = boxes + 4 * i;
-    for (int oj = oi + 1; oj < n; ++oj) {
-      int j = order[oj];
-      if (removed[j]) continue;
-      const float* bj = boxes + 4 * j;
-      float xx1 = std::max(bi[0], bj[0]);
-      float yy1 = std::max(bi[1], bj[1]);
-      float xx2 = std::min(bi[2], bj[2]);
-      float yy2 = std::min(bi[3], bj[3]);
-      float w = std::max(0.0f, xx2 - xx1);
-      float h = std::max(0.0f, yy2 - yy1);
-      float inter = w * h;
-      float iou = inter / (areas[i] + areas[j] - inter);
-      if (iou > iou_thres) removed[j] = true;
-    }
-  }
-  delete[] order;
-  delete[] removed;
-  delete[] areas;
-  return count;
 }
 
 // --------------------------------------------------------------------------

@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--config", default="configs/models/gelan-c.yaml")
     ap.add_argument("--output", required=True, help="output .npz path")
     ap.add_argument("--num-classes", type=int, default=None)
+    ap.add_argument("--allow-extra", action="store_true",
+                    help="drop tensors the model does not consume instead "
+                         "of failing (default: any unconsumed key errors)")
     args = ap.parse_args()
 
     from yolo_re_tpu.convert.torch_import import (
@@ -45,8 +48,24 @@ def main() -> None:
         model_name = os.path.splitext(os.path.basename(args.config))[0]
         print(f"upstream yolov9 schema detected; applying the "
               f"{model_name} layer map")
-        sd = upstream_to_reference_sd(sd, model_name)
+        sd = upstream_to_reference_sd(sd, model_name,
+                                      strict=not args.allow_extra)
     params, stats = convert_state_dict(model.plan, sd)
+
+    # Completeness: every tensor in the (translated) state_dict must have
+    # been consumed — an unconsumed key means the checkpoint carries
+    # weights this model did not load (wrong --config, or an upstream
+    # variant the maps misread). convert_state_dict only PULLS keys, so
+    # diff against the exact inverse export.
+    from yolo_re_tpu.convert.torch_export import export_state_dict
+    extra = sorted(set(sd) - set(export_state_dict(model.plan, params,
+                                                   stats)))
+    if extra:
+        msg = (f"{len(extra)} checkpoint tensor(s) were NOT consumed by "
+               f"{args.config}: {extra[:8]}{' ...' if len(extra) > 8 else ''}")
+        if not args.allow_extra:
+            raise SystemExit(f"ERROR: {msg} (use --allow-extra to drop)")
+        print(f"WARNING: {msg}")
     save_params(args.output, params, stats)
     n = model.num_params(params)
     print(f"converted {len(sd)} torch tensors -> {args.output} "

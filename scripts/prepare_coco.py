@@ -31,9 +31,10 @@ def fetch_zip(url: str, dest_zip: Path, extract_to: Path) -> None:
         urllib.request.urlretrieve(url, dest_zip)
     print(f"extracting {dest_zip.name}")
     with zipfile.ZipFile(dest_zip) as zf:
+        root = extract_to.resolve()
         for m in zf.namelist():  # refuse path-traversal members
             target = (extract_to / m).resolve()
-            if not str(target).startswith(str(extract_to.resolve())):
+            if root != target and root not in target.parents:
                 raise ValueError(f"unsafe zip member: {m}")
         zf.extractall(extract_to)
     dest_zip.unlink()

@@ -164,6 +164,120 @@ def test_upstream_maps_agree_with_reference_converter():
                                           np.asarray(ours[k]), err_msg=k)
 
 
+# ---------------------------------------------------------------------------
+# Adversarial upstream-checkpoint fixtures (round-2 VERDICT Missing #1 /
+# next-round #3): real pretrained .pt files are unreachable (zero egress),
+# so synthesize the artifact classes real checkpoints carry and assert
+# conversion either succeeds bit-exactly or fails with a named-key error.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def gelan_upstream():
+    from yolo_re_tpu.convert.torch_import import reference_to_upstream_sd
+
+    model = YOLO.from_yaml("configs/models/gelan-c.yaml")
+    params, stats = model.init(jax.random.key(0))
+    up = reference_to_upstream_sd(
+        export_state_dict(model.plan, params, stats), "gelan-c")
+    return model, params, stats, up
+
+
+def _convert_up(model, up_sd, **kw):
+    from yolo_re_tpu.convert.torch_import import upstream_to_reference_sd
+
+    return convert_state_dict(model.plan,
+                              upstream_to_reference_sd(up_sd, "gelan-c", **kw))
+
+
+def test_upstream_extra_buffers_ignored(gelan_upstream):
+    """anchors/strides buffers and BN num_batches_tracked counters (all
+    derived here) must not perturb the conversion."""
+    model, params, stats, up = gelan_upstream
+    sd = dict(up)
+    sd["model.22.anchors"] = np.zeros((2, 3), np.float32)
+    sd["model.22.strides"] = np.array([8.0, 16.0, 32.0], np.float32)
+    sd["model.0.bn.num_batches_tracked"] = np.int64(123)
+    p2, s2 = _convert_up(model, sd)
+    _assert_trees_equal(params, p2)
+    _assert_trees_equal(stats, s2)
+
+
+def test_upstream_nonstandard_dfl_rejected(gelan_upstream):
+    """A DFL projection conv that is not the arange projection must raise,
+    not be silently replaced by the derived one."""
+    from yolo_re_tpu.convert.torch_import import upstream_to_reference_sd
+
+    model, _, _, up = gelan_upstream
+    sd = dict(up)
+    sd["model.22.dfl.conv.weight"] = np.ones((1, 16, 1, 1), np.float32)
+    with pytest.raises(ValueError, match="DFL"):
+        upstream_to_reference_sd(sd, "gelan-c")
+
+
+def test_upstream_unknown_key_strict(gelan_upstream):
+    """A key the layer map cannot place names itself in the error; with
+    strict=False it is dropped and conversion is unperturbed."""
+    from yolo_re_tpu.convert.torch_import import upstream_to_reference_sd
+
+    model, params, _, up = gelan_upstream
+    sd = dict(up)
+    sd["model.11.mystery.weight"] = np.zeros(4, np.float32)
+    with pytest.raises(KeyError, match="model.11.mystery.weight"):
+        upstream_to_reference_sd(sd, "gelan-c")
+    p2, _ = _convert_up(model, sd, strict=False)
+    _assert_trees_equal(params, p2)
+
+
+def test_upstream_fused_repconv_fails_with_named_key(gelan_upstream):
+    """A re-parameterized (inference-fused) RepConvN — single conv+bias in
+    place of the conv1/conv2 branch pair — must fail naming the missing
+    branch key, not silently half-load the block."""
+    model, _, _, up = gelan_upstream
+    drop = ("model.2.cv2.0.m.0.cv1.conv1.", "model.2.cv2.0.m.0.cv1.conv2.")
+    sd = {k: v for k, v in up.items() if not k.startswith(drop)}
+    w = up["model.2.cv2.0.m.0.cv1.conv1.conv.weight"]
+    sd["model.2.cv2.0.m.0.cv1.conv.weight"] = w
+    sd["model.2.cv2.0.m.0.cv1.conv.bias"] = np.zeros(w.shape[0], np.float32)
+    with pytest.raises(KeyError, match="conv1"):
+        _convert_up(model, sd)
+
+
+def test_checkpoint_container_variants(gelan_upstream, tmp_path):
+    """Real .pt container classes: EMA-wrapped training checkpoints (EMA
+    preferred over the raw model, like upstream attempt_load) and fp16
+    release checkpoints (widened to f32 like the reference's .float())."""
+    torch = pytest.importorskip("torch")
+    from yolo_re_tpu.convert.torch_import import load_torch_checkpoint
+
+    model, params, stats, up = gelan_upstream
+    t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in up.items()}
+
+    # (a) EMA container: the decoy zeroed 'model' must NOT be loaded
+    decoy = {k: torch.zeros_like(v) for k, v in t.items()}
+    path = tmp_path / "ema.pt"
+    torch.save({"model": decoy, "ema": t, "epoch": 3, "best_fitness": 0.1},
+               path)
+    p2, s2 = _convert_up(model, load_torch_checkpoint(str(path)))
+    _assert_trees_equal(params, p2)
+    _assert_trees_equal(stats, s2)
+
+    # (b) fp16 checkpoint: loader widens to f32; conversion equals the
+    # fp16-cast weights bit-exactly (integer counters stay integer)
+    half = {k: (v.half() if v.is_floating_point() else v)
+            for k, v in t.items()}
+    path = tmp_path / "half.pt"
+    torch.save({"model": half}, path)
+    sd = load_torch_checkpoint(str(path))
+    assert all(v.dtype != np.float16 for v in sd.values())
+    p3, _ = _convert_up(model, sd)
+    flat_ref, flat_half = flatten_tree(params), flatten_tree(p3)
+    for k in flat_ref:
+        np.testing.assert_array_equal(
+            np.asarray(flat_half[k]),
+            np.asarray(flat_ref[k]).astype(np.float16).astype(np.float32),
+            err_msg=k)
+
+
 def test_load_params_rejects_training_checkpoint(tiny_model, tmp_path):
     """A full training checkpoint must not silently load as bare params —
     that path returned raw last-step weights where EMA was documented."""

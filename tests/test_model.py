@@ -183,3 +183,26 @@ def test_remat_grads_match(tiny_model):
     # "early" must actually select a nonempty strict subset of blocks
     scales = [s.scale for s in model.plan.steps]
     assert any(0 < sc <= 8 for sc in scales) and any(sc > 8 for sc in scales)
+
+
+def test_remat_arg_validation(tiny_model):
+    """remat=1 (YAML/CLI int) must enable remat, not silently disable it;
+    unknown strings must raise (round-2 ADVICE)."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params, stats = tiny_model
+    x = jax.random.uniform(jax.random.key(5), (1, 64, 64, 3))
+
+    def loss(p, remat):
+        preds, _ = model.apply(p, stats, x, train=True, remat=remat)
+        return sum(l.astype(jnp.float32).sum() for l in
+                   jax.tree_util.tree_leaves(preds))
+
+    g_true = jax.grad(lambda p: loss(p, True))(params)
+    g_int = jax.grad(lambda p: loss(p, 1))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_true),
+                    jax.tree_util.tree_leaves(g_int)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError, match="remat"):
+        model.apply(params, stats, x, train=True, remat="full")

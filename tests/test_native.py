@@ -35,20 +35,41 @@ def test_letterbox_matches_python():
     assert diff.max() <= 2
 
 
-def test_nms_greedy():
-    boxes = np.array([
-        [0, 0, 10, 10],
-        [1, 1, 11, 11],
-        [50, 50, 60, 60],
-        [0.5, 0.5, 10.5, 10.5],
-    ], np.float32)
-    scores = np.array([0.9, 0.8, 0.7, 0.6], np.float32)
-    keep = native.nms(boxes, scores, 0.45)
-    assert list(keep) == [0, 2]
-    keep = native.nms(boxes, scores, 0.95)
-    assert list(keep) == [0, 1, 2, 3]
-    keep = native.nms(boxes, scores, 0.45, max_det=1)
-    assert list(keep) == [0]
+def test_blit_matches_numpy():
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    c1 = np.full((100, 100, 3), 114, np.uint8)
+    c2 = c1.copy()
+    # interior tile, edge-clipped tile, and a fully out-of-bounds tile
+    for (y1a, x1a, y2a, x2a, y1b, x1b) in [(10, 20, 50, 80, 0, 0),
+                                           (90, 95, 100, 100, 5, 7),
+                                           (100, 100, 100, 100, 0, 0)]:
+        native.blit(c1, src, y1a, x1a, y2a, x2a, y1b, x1b)
+        c2[y1a:y2a, x1a:x2a] = src[y1b:y1b + (y2a - y1a),
+                                   x1b:x1b + (x2a - x1a)]
+    np.testing.assert_array_equal(c1, c2)
+
+
+def test_mosaic_native_dispatch_matches_numpy(synthetic_dataset, monkeypatch):
+    """Mosaic's tile resize+composition dispatches through the native
+    kernels under YOLO_TPU_NATIVE=1 and reproduces the numpy/cv2 canvas
+    (geometry identical; pixels within resize rounding)."""
+    from yolo_re_tpu.data.dataset import YOLODataset
+    from yolo_re_tpu.data.transforms import Mosaic, Sample
+
+    ds = YOLODataset(synthetic_dataset, img_size=64)
+    img, labels, shape = ds.load_raw(0)
+
+    def run(native_on):
+        monkeypatch.setenv("YOLO_TPU_NATIVE", "1" if native_on else "0")
+        mosaic = Mosaic(ds, img_size=64, prob=1.0)
+        rng = np.random.default_rng(7)
+        return mosaic(Sample(img.copy(), labels.copy(), 64, shape), rng)
+
+    a, b = run(False), run(True)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    diff = np.abs(a.img.astype(int) - b.img.astype(int))
+    assert diff.max() <= 2, f"max pixel diff {diff.max()}"
 
 
 def test_loader_native_dispatch_matches_cv2(synthetic_dataset, monkeypatch):

@@ -342,47 +342,87 @@ def is_upstream_state_dict(sd: SD) -> bool:
     return False
 
 
-def upstream_to_reference_sd(sd: SD, model_name: str) -> SD:
+def upstream_to_reference_sd(sd: SD, model_name: str, *,
+                             strict: bool = True) -> SD:
     """Rewrite an upstream WongKinYiu/yolov9 state_dict's keys into the
     reference's naming, so `convert_state_dict` ingests real pretrained
     checkpoints one-hop (reference: scripts/convert_weights.py:204-249).
-    DFL projection weights (dfl/dfl2) are dropped — we derive them."""
+
+    Derived-not-loaded keys (anchors/strides buffers, BN
+    num_batches_tracked counters) are dropped silently; a DFL projection
+    conv (`model.N.dfl*.conv.weight`) is VERIFIED against the arange
+    projection this framework derives and raises on mismatch rather than
+    silently replacing a non-standard value. Under `strict` (default),
+    any other key the layer map cannot place raises KeyError naming it —
+    a misread of upstream semantics (an unanticipated buffer, a fused
+    RepConv layout) fails loudly instead of silently dropping weights."""
     if model_name not in UPSTREAM_LAYER_MAPS:
         raise ValueError(
             f"No upstream layer map for {model_name!r}; "
             f"have {sorted(UPSTREAM_LAYER_MAPS)}")
     mapping = UPSTREAM_LAYER_MAPS[model_name]
     out: SD = {}
+    unplaced: list[str] = []
     for key, tensor in sd.items():
-        if not key.startswith("model."):
-            continue
         parts = key.split(".", 2)
-        if len(parts) < 3 or not parts[1].isdigit():
+        if (key.startswith("model.") and len(parts) == 3
+                and parts[1].isdigit()):
+            idx, rest = int(parts[1]), parts[2]
+        else:
+            idx, rest = None, key
+        tail = rest.rsplit(".", 1)[-1]
+        if tail in ("anchors", "strides", "num_batches_tracked"):
+            continue  # derived / not loaded
+        if rest.startswith("dfl") and rest.endswith("conv.weight"):
+            w = np.asarray(tensor, np.float32).reshape(-1)
+            if not np.allclose(w, np.arange(w.size, dtype=np.float32)):
+                raise ValueError(
+                    f"{key}: DFL projection conv is not arange({w.size}) — "
+                    "this framework derives it and refuses to drop a "
+                    "non-standard value")
             continue
-        idx = int(parts[1])
-        if idx not in mapping:
-            continue  # parameter-free layer (or anchors/buffers)
+        if idx is None or idx not in mapping:
+            unplaced.append(key)
+            continue
         name, block_type = mapping[idx]
-        rest = parts[2]
-        if rest.startswith("dfl") or rest == "anchors" or rest == "strides":
-            continue  # derived, not loaded
         out[f"layers.{name}.{_UPSTREAM_REST_MAPPERS[block_type](rest)}"] = \
             tensor
+    if strict and unplaced:
+        raise KeyError(
+            f"{len(unplaced)} upstream key(s) not covered by the "
+            f"{model_name} layer map: {sorted(unplaced)[:8]}"
+            f"{' ...' if len(unplaced) > 8 else ''} "
+            "(pass strict=False to drop them)")
     return out
 
 
 def load_torch_checkpoint(path: str) -> SD:
-    """Load a .pt state_dict (or full checkpoint with 'model' key) to numpy."""
+    """Load a .pt state_dict (or full checkpoint container) to f32 numpy.
+
+    Containers: upstream yolov9 training checkpoints carry both `ema`
+    and `model` entries; like upstream's own `attempt_load`
+    (yolov9/models/experimental.py), the EMA weights are preferred when
+    present. fp16 checkpoints (upstream releases ship half precision)
+    are widened to f32, matching the reference loader's `.float()`
+    (reference: scripts/convert_weights.py:252-267)."""
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "model" in obj and not hasattr(obj["model"], "keys"):
-        obj = obj["model"].state_dict()
-    elif isinstance(obj, dict) and "model" in obj:
-        obj = obj["model"]
+    if isinstance(obj, dict) and ("ema" in obj or "model" in obj):
+        picked = obj.get("ema")
+        if picked is None:
+            picked = obj["model"]
+        obj = picked
     sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
-    return {k: v.detach().cpu().numpy() for k, v in sd.items()
-            if hasattr(v, "detach")}
+    out: SD = {}
+    for k, v in sd.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu()
+            if v.is_floating_point():
+                v = v.float()  # fp16 -> f32; integer counters untouched
+            v = v.numpy()
+        out[k] = np.asarray(v)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -103,6 +103,11 @@ class YOLO:
             eval, single head  : (decoded (B, A, 4+nc), raw)
             eval, dual head    : ({"aux": dec, "main": dec}, raw dict)
         """
+        if not isinstance(remat, str):
+            remat = bool(remat)  # accept ints (YAML/CLI truthiness)
+        elif remat not in ("early",):
+            raise ValueError(
+                f"remat must be a bool or 'early', got {remat!r}")
         outputs: dict[str, Any] = {INPUT: x}
         new_stats: Params = {}
         out = x

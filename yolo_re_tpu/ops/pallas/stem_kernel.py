@@ -182,8 +182,10 @@ def stem_conv_packed(x: jax.Array, weights, *, interpret: bool = False):
     cout = weights["w2"].shape[1] // 2
     # Row-block size: 32 measured ~5% faster than 16 at 640px (2.78 vs
     # 2.93 ms) — fewer grid steps amortize the per-step DMA/weight setup.
+    # YOLO_TPU_STEM_TO is read at TRACE time (baked into the jit cache);
+    # changing it after the first compile of a shape has no effect.
     import os
-    tmax = int(os.environ.get("YOLO_TPU_STEM_TO", "32"))
+    tmax = max(2, int(os.environ.get("YOLO_TPU_STEM_TO", "32")))
     to = next(t for t in (tmax, 32, 16, 8, 4, 2) if ho % t == 0 and t <= tmax)
     dtype = x.dtype
 

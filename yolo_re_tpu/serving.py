@@ -68,9 +68,15 @@ class Detector:
             mesh = make_mesh()
         self.mesh = mesh
         if mesh is not None:
+            # Under a sharded jit the Pallas fast paths (stem/ADown Mosaic
+            # custom calls) have no SPMD partitioning rule, and their
+            # batch<=N gates would read the GLOBAL batch when the win is
+            # decided by the per-device slice. Serve the portable XLA
+            # graph instead (same numerics; consumer blocks detect the
+            # packed layouts by key/shape, so stripping is sufficient).
             from yolo_re_tpu.parallel.mesh import replicate_tree
-            params = replicate_tree(params, mesh)
-            stats = replicate_tree(stats, mesh)
+            params = replicate_tree(_strip_pallas(params), mesh)
+            stats = replicate_tree(_strip_pallas(stats), mesh)
 
         self.model = model
         self.params = jax.device_put(params)

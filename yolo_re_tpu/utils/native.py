@@ -30,15 +30,12 @@ def _lib():
     lib = ctypes.CDLL(str(path))
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     c = ctypes.c_int
     cf = ctypes.c_float
 
     lib.resize_bilinear_u8.argtypes = [u8p, c, c, c, u8p, c, c]
     lib.letterbox_u8.argtypes = [u8p, c, c, c, u8p, c, c, ctypes.c_uint8,
                                  c, f32p, f32p]
-    lib.nms_f32.argtypes = [f32p, f32p, c, cf, c, i32p]
-    lib.nms_f32.restype = c
     lib.hsv_augment_u8.argtypes = [u8p, c, c, cf, cf, cf]
     lib.blit_u8.argtypes = [u8p, c, c, u8p, c, c, c, c, c, c, c, c]
     _LIB = lib
@@ -100,16 +97,19 @@ def letterbox(img: np.ndarray, out_h: int, out_w: int,
                                                      float(pad[1]))
 
 
-def nms(boxes: np.ndarray, scores: np.ndarray, iou_thres: float,
-        max_det: int = 300) -> np.ndarray:
-    """Greedy NMS; returns kept indices, score-descending."""
+def blit(canvas: np.ndarray, src: np.ndarray, y1a: int, x1a: int,
+         y2a: int, x2a: int, y1b: int, x1b: int) -> None:
+    """Copy src[y1b:y1b+(y2a-y1a), x1b:x1b+(x2a-x1a)] into
+    canvas[y1a:y2a, x1a:x2a] (bounds-checked row memcpy) — the mosaic
+    tile composer (reference tile math: src/yolo/data/transforms.py:114-136)."""
     lib = _lib()
     assert lib is not None
-    boxes = np.ascontiguousarray(boxes, np.float32)
-    scores = np.ascontiguousarray(scores, np.float32)
-    keep = np.empty(min(len(boxes), max_det), np.int32)
-    n = lib.nms_f32(boxes, scores, len(boxes), iou_thres, max_det, keep)
-    return keep[:n].copy()
+    assert canvas.flags["C_CONTIGUOUS"] and canvas.dtype == np.uint8
+    src = np.ascontiguousarray(src)
+    ch_, cw = canvas.shape[:2]
+    sh, sw = src.shape[:2]
+    lib.blit_u8(canvas, ch_, cw, src, sh, sw,
+                y1a, x1a, y2a, x2a, y1b, x1b)
 
 
 def hsv_augment(img: np.ndarray, h_mul: float, s_mul: float,
