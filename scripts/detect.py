@@ -71,6 +71,23 @@ def main() -> None:
         except Exception:
             ckpt = load_checkpoint(args.weights)
             params, stats = ckpt["ema"]["params"], ckpt["ema"]["stats"]
+    elif args.weights.endswith((".pt", ".pth")):
+        # One-command torch ingestion, like the reference's detect CLI
+        # (reference: scripts/detect.py:174-189): a raw upstream yolov9
+        # checkpoint, a reference-format state dict, or a reference
+        # Trainer checkpoint all convert in-memory — no prior
+        # convert_weights.py hop needed.
+        from yolo_re_tpu.convert.torch_import import (
+            convert_state_dict, is_upstream_state_dict,
+            load_torch_checkpoint, upstream_to_reference_sd)
+
+        sd = load_torch_checkpoint(args.weights)
+        if is_upstream_state_dict(sd):
+            name = Path(args.config).stem
+            print(f"upstream yolov9 schema detected; applying the "
+                  f"{name} layer map")
+            sd = upstream_to_reference_sd(sd, name)
+        params, stats = convert_state_dict(model.plan, sd)
     else:
         raise SystemExit(f"Unsupported weights format: {args.weights}")
     if not args.no_fuse:

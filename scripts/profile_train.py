@@ -44,6 +44,12 @@ def main() -> None:
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--gt", type=int, default=8,
                     help="padded GT boxes per image")
+    ap.add_argument("--per-layer", action="store_true",
+                    help="per-layer forward+backward attribution by plan "
+                         "truncation (round-2 VERDICT Next #1); compiles "
+                         "two programs per layer — slow cold")
+    ap.add_argument("--from-layer", type=int, default=0,
+                    help="with --per-layer: skip prefixes shorter than this")
     args = ap.parse_args()
 
     import jax
@@ -76,6 +82,10 @@ def main() -> None:
     def surrogate(preds):
         return sum(p.astype(jnp.float32).sum()
                    for p in jax.tree_util.tree_leaves(preds))
+
+    if args.per_layer:
+        _per_layer(args, model, params, stats, images)
+        return
 
     def make_loop(body_fn):
         @jax.jit
@@ -185,6 +195,95 @@ def main() -> None:
     print(f"  clip + SGD + EMA     {(times['full'] - times['fwd_loss_bwd']) * 1e3:8.2f} ms")
     print(f"  TOTAL                {times['full'] * 1e3:8.2f} ms  "
           f"= {args.batch / times['full']:.1f} img/s")
+
+
+def _per_layer(args, model, params, stats, images) -> None:
+    """Per-layer forward and backward attribution, by cumulative plan
+    truncation (the backward-side analogue of scripts/profile_layers.py).
+
+    For prefix k: run train-mode steps[:k] with a surrogate sum over EVERY
+    step output (anything unconsumed would be dead-code-eliminated —
+    including whole branches saved for later concats), take grads of all
+    prefix params and keep EVERY grad leaf live (see grad_probe note in
+    main). Layer k's fwd+bwd cost = delta between prefixes; a second
+    forward-only sweep splits out the backward share. Fusion moves a
+    little work across boundaries — read adjacent pairs together; the
+    TOTAL rows are exact.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolo_re_tpu.models.builder import INPUT
+    from yolo_re_tpu.utils.profiling import device_timer
+
+    steps = model.plan.steps
+    R = args.remat
+
+    def run_prefix(k, p, x):
+        outputs = {INPUT: x}
+        acc = jnp.zeros((), jnp.float32)
+        for step in steps[:k]:
+            if len(step.inputs) == 1 and step.type != "CBFuse":
+                inp = outputs[step.inputs[0]]
+            else:
+                inp = [outputs[n] for n in step.inputs]
+            if step.name == model.plan.detect_name \
+                    and not isinstance(inp, list):
+                inp = [inp]
+            from functools import partial as _p
+            apply_fn = _p(step.block.apply, step.cfg, train=True)
+            if R is True or (R == "early" and 0 < step.scale <= 8):
+                apply_fn = jax.checkpoint(apply_fn)
+            out, _ = apply_fn(p.get(step.name, {}),
+                              stats.get(step.name, {}), inp)
+            outputs[step.name] = out
+            acc += sum(leaf.astype(jnp.float32).sum()
+                       for leaf in jax.tree_util.tree_leaves(out))
+        return acc
+
+    def fwd_fn(k):
+        return lambda x, p: run_prefix(k, p, x)
+
+    def bwd_fn(k):
+        names = {s.name for s in steps[:k]}
+
+        def fn(x, p):
+            sub = {n: p[n] for n in p if n in names}
+            val, grads = jax.value_and_grad(
+                lambda q: run_prefix(k, {**p, **q}, x))(sub)
+            return val + sum(g.astype(jnp.float32).ravel()[0]
+                             for g in jax.tree_util.tree_leaves(grads))
+        return fn
+
+    print(f"{'layer':<12} {'type':<16} {'fwd ms':>8} {'bwd ms':>8} "
+          f"{'f+b ms':>8}   % of total")
+    rows = []
+    prev_f = prev_fb = 0.0
+    t_start = time.time()
+    for k in range(1, len(steps) + 1):
+        tf = device_timer(fwd_fn(k), images, params,
+                          iters=args.iters) * 1000
+        tfb = device_timer(bwd_fn(k), images, params,
+                           iters=args.iters) * 1000
+        if k > args.from_layer:
+            s = steps[k - 1]
+            rows.append((s.name, s.type, tf - prev_f,
+                         (tfb - prev_fb) - (tf - prev_f), tfb - prev_fb))
+        prev_f, prev_fb = tf, tfb
+        print(f"  ...{k}/{len(steps)} ({time.time() - t_start:.0f}s)",
+              end="\r", flush=True)
+
+    total_f, total_fb = prev_f, prev_fb
+    rows.sort(key=lambda r: -r[4])
+    for name, type_, f, b, fb in rows:
+        print(f"{name:<12} {type_:<16} {f:8.2f} {b:8.2f} {fb:8.2f}   "
+              f"{100 * fb / total_fb:5.1f}%")
+    print(f"{'TOTAL':<12} {'':<16} {total_f:8.2f} "
+          f"{total_fb - total_f:8.2f} {total_fb:8.2f}   "
+          f"(surrogate loss, batch {args.batch}, "
+          f"bwd/fwd {total_fb / total_f - 1:.2f}x)")
 
 
 if __name__ == "__main__":

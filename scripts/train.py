@@ -43,7 +43,21 @@ def main() -> None:
                          "decodes + letterboxes)")
     ap.add_argument("--no-dp", action="store_true",
                     help="disable data parallelism")
+    ap.add_argument("--coordinator", default=None,
+                    help="multi-host: coordinator host:port (launch one "
+                         "process per host with --num-processes and a "
+                         "distinct --process-id; on TPU pods the runtime "
+                         "auto-detects and these can be omitted)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+
+    if args.coordinator or args.num_processes:
+        from yolo_re_tpu.parallel.mesh import init_distributed
+
+        pi, pc = init_distributed(args.coordinator, args.num_processes,
+                                  args.process_id)
+        print(f"multi-host: process {pi}/{pc}")
 
     from yolo_re_tpu import AugmentConfig, DataConfig, Trainer, YOLO
     from yolo_re_tpu.convert.torch_import import load_params

@@ -62,9 +62,14 @@ layers:
 """
 
 
-def make_dataset(root: str, split: str, n: int, seed: int) -> str:
+def make_dataset(root: str, split: str, n: int, seed: int,
+                 dense: bool = False) -> str:
     """Synthetic detection data: solid color-coded rectangles (class k ->
-    color k) on dark noise — learnable in a few hundred steps."""
+    color k) on dark noise — learnable in a few hundred steps.
+
+    dense=True: 56-96 small boxes per 320px image on a jittered 10x10
+    grid — the dense-GT regime (round-2 VERDICT Weak #2) where crowded
+    NMS, many-GT greedy matching, and the max_det budget all bite."""
     import cv2
 
     img_dir = os.path.join(root, "images", split)
@@ -73,13 +78,26 @@ def make_dataset(root: str, split: str, n: int, seed: int) -> str:
     os.makedirs(lab_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     for i in range(n):
-        h = w = 160
+        h = w = 320 if dense else 160
         img = rng.integers(0, 80, (h, w, 3)).astype(np.uint8)
         lines = []
-        for _ in range(int(rng.integers(1, 4))):
+        if dense:
+            cells = [(r, c) for r in range(10) for c in range(10)]
+            rng.shuffle(cells)
+            placements = []
+            for (r, c) in cells[:int(rng.integers(56, 97))]:
+                cx = (c + 0.5) * w / 10 + rng.uniform(-4, 4)
+                cy = (r + 0.5) * h / 10 + rng.uniform(-4, 4)
+                bw, bh = rng.uniform(12, 24, 2)
+                placements.append((cx / w, cy / h, bw / w, bh / h))
+        else:
+            placements = []
+            for _ in range(int(rng.integers(1, 4))):
+                cx, cy = rng.uniform(0.25, 0.75, 2)
+                bw, bh = rng.uniform(0.15, 0.35, 2)
+                placements.append((cx, cy, bw, bh))
+        for (cx, cy, bw, bh) in placements:
             cls = int(rng.integers(0, NUM_CLASSES))
-            cx, cy = rng.uniform(0.25, 0.75, 2)
-            bw, bh = rng.uniform(0.15, 0.35, 2)
             x1, y1 = int((cx - bw / 2) * w), int((cy - bh / 2) * h)
             x2, y2 = int((cx + bw / 2) * w), int((cy + bh / 2) * h)
             cv2.rectangle(img, (x1, y1), (x2, y2), COLORS[cls], -1)
@@ -90,7 +108,8 @@ def make_dataset(root: str, split: str, n: int, seed: int) -> str:
     return img_dir
 
 
-def eval_ours(model_yaml: str, params, stats, val_path: str, img_size: int):
+def eval_ours(model_yaml: str, params, stats, val_path: str, img_size: int,
+              max_boxes: int = 64):
     from yolo_re_tpu.data.config import DataConfig
     from yolo_re_tpu.data.dataset import create_dataloader
     from yolo_re_tpu.eval.evaluator import Evaluator
@@ -98,7 +117,8 @@ def eval_ours(model_yaml: str, params, stats, val_path: str, img_size: int):
 
     model = YOLO.from_yaml(model_yaml)
     cfg = DataConfig(val_path=val_path, num_classes=NUM_CLASSES,
-                     img_size=img_size, batch_size=8, workers=0)
+                     img_size=img_size, batch_size=8, workers=0,
+                     max_boxes=max_boxes)
     loader = create_dataloader(val_path, cfg, "val")
     return Evaluator(model, loader).evaluate(params, stats)
 
@@ -140,12 +160,16 @@ def main() -> None:
     ap.add_argument("--tol", type=float, default=0.1)
     ap.add_argument("--workdir", default=None,
                     help="reuse a directory (keeps dataset/ckpt between runs)")
+    ap.add_argument("--dense", action="store_true",
+                    help="dense-GT stress: 56-96 objects/image at 320px")
     args = ap.parse_args()
+    if args.dense and args.img_size == 160:
+        args.img_size = 320
 
     work = args.workdir or tempfile.mkdtemp(prefix="eval_parity_")
     os.makedirs(work, exist_ok=True)
-    train_path = make_dataset(work, "train", 24, seed=0)
-    val_path = make_dataset(work, "val", 16, seed=1)
+    train_path = make_dataset(work, "train", 24, seed=0, dense=args.dense)
+    val_path = make_dataset(work, "val", 16, seed=1, dense=args.dense)
     model_yaml = os.path.join(work, "tiny.yaml")
     with open(model_yaml, "w") as f:
         f.write(TINY_YAML)
@@ -155,10 +179,11 @@ def main() -> None:
     from yolo_re_tpu.models.yolo import YOLO
     from yolo_re_tpu.train.trainer import Trainer
 
+    max_boxes = 128 if args.dense else 64
     model = YOLO.from_yaml(model_yaml)
     data = DataConfig(train_path=train_path, num_classes=NUM_CLASSES,
                       img_size=args.img_size, batch_size=8, workers=0,
-                      augment=AugmentConfig("minimal"))
+                      max_boxes=max_boxes, augment=AugmentConfig("minimal"))
     trainer = Trainer(model, data=data, epochs=args.epochs, lr=0.01,
                       val_period=10 ** 9, output_dir=os.path.join(work, "run"))
     print(f"training {args.epochs} epochs on synthetic data in {work} ...")
@@ -166,7 +191,8 @@ def main() -> None:
     params = trainer.ema["params"]
     stats = trainer.ema["stats"]
 
-    ours = eval_ours(model_yaml, params, stats, val_path, args.img_size)
+    ours = eval_ours(model_yaml, params, stats, val_path, args.img_size,
+                     max_boxes=max_boxes)
     print(f"ours : map50={ours['map50']:.4f} map75={ours['map75']:.4f} "
           f"map={ours['map']:.4f}")
 

@@ -306,9 +306,20 @@ class DataLoader:
                  max_boxes: int = 128, shuffle: bool = False,
                  drop_last: bool = False, workers: int = 8,
                  seed: int = 6148914691236517205 % (2**32),
-                 prefetch: int = 2, uint8_images: bool = False):
+                 prefetch: int = 2, uint8_images: bool = False,
+                 shard: tuple[int, int] | None = None):
         # uint8_images: emit (B, H, W, 3) uint8 RGB instead of float32/255 —
         # 4x less host->device transfer; the train step divides on device.
+        #
+        # shard=(index, count): multi-host data parallelism. batch_size
+        # stays the GLOBAL batch; every process builds the identical
+        # global batch order (same seed/epoch -> same permutation) and
+        # loads only its batch_size/count slice of each global batch, so
+        # process-local batches assemble into exactly the batches a
+        # single-process run would see (and per-sample augmentation RNG,
+        # keyed on the global index, is identical too). Partial final
+        # batches are always dropped when sharded — they cannot slice
+        # uniformly across processes.
         self.uint8_images = uint8_images
         self.dataset = dataset
         self.batch_size = batch_size
@@ -319,9 +330,20 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = 0
+        if shard is not None:
+            index, count = shard
+            if not (0 <= index < count):
+                raise ValueError(f"shard index {index} not in [0, {count})")
+            if batch_size % count:
+                raise ValueError(
+                    f"global batch_size {batch_size} is not divisible by "
+                    f"{count} processes")
+        self.shard = shard
 
     def __len__(self):
         n = len(self.dataset)
+        if self.shard is not None:
+            return n // self.batch_size
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
@@ -336,10 +358,16 @@ class DataLoader:
         else:
             order = np.arange(n)
         batches = []
-        stop = n - n % self.batch_size if self.drop_last else n
+        drop = self.drop_last or self.shard is not None
+        stop = n - n % self.batch_size if drop else n
         for i in range(0, stop, self.batch_size):
             batches.append(order[i:i + self.batch_size])
-        return [b for b in batches if len(b)]
+        batches = [b for b in batches if len(b)]
+        if self.shard is not None:
+            index, count = self.shard
+            local = self.batch_size // count
+            batches = [b[index * local:(index + 1) * local] for b in batches]
+        return batches
 
     def _make_batch(self, indices, pool):
         def load_one(i):
@@ -387,9 +415,14 @@ def create_dataloader(
     path: str | Path,
     config: DataConfig,
     mode: str = "train",
+    shard: tuple[int, int] | None = None,
 ) -> DataLoader:
     """Build dataset + loader from DataConfig
-    (reference: src/yolo/data/dataset.py:330-399)."""
+    (reference: src/yolo/data/dataset.py:330-399).
+
+    shard=(process_index, process_count) enables the multi-host split:
+    this loader yields batch_size/count-image slices of each global batch
+    (see DataLoader.shard)."""
     is_train = mode == "train"
     dataset = YOLODataset(
         path,
@@ -414,4 +447,5 @@ def create_dataloader(
         drop_last=is_train,
         workers=config.workers,
         uint8_images=config.uint8_images,
+        shard=shard,
     )

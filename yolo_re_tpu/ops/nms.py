@@ -115,10 +115,12 @@ def non_max_suppression(
     be a (hashable) tuple — it specializes the compiled program.
 
     pre_topk: fixed candidate count kept before the greedy pass (static
-    shapes on TPU). None picks 2048 at mAP-eval thresholds (conf < 0.1,
-    where tail candidates matter) and 512 at serving thresholds, where
-    survivors above conf are far fewer and the smaller working set is
-    measurably faster.
+    shapes on TPU). None picks ALL anchors at mAP-eval thresholds
+    (conf < 0.1) — the reference's host NMS considers every anchor above
+    conf 0.001 (src/yolo/utils/nms.py:49-55) and a dense scene can clear
+    0.001 on far more than any fixed cap — and 512 at serving
+    thresholds, where survivors above conf are far fewer and the smaller
+    working set is measurably faster.
 
     backend: "pallas" (VMEM-resident greedy kernel, TPU), "xla" (lax.scan),
     or "auto" (on TPU: xla for small K, pallas above 1024 — see
@@ -132,7 +134,7 @@ def non_max_suppression(
     """
     num_anchors = predictions.shape[1]
     if pre_topk is None:
-        pre_topk = 2048 if conf_thres < 0.1 else 512
+        pre_topk = num_anchors if conf_thres < 0.1 else 512
     k = min(pre_topk, num_anchors)
     if backend == "auto":
         backend = _default_backend(k)
@@ -226,7 +228,7 @@ def non_max_suppression_raw(
 
     num_anchors = box_logits.shape[1]
     if pre_topk is None:
-        pre_topk = 2048 if conf_thres < 0.1 else 512
+        pre_topk = num_anchors if conf_thres < 0.1 else 512
     k = min(pre_topk, num_anchors)
     if backend == "auto":
         backend = _default_backend(k)

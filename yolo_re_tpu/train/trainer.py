@@ -35,6 +35,7 @@ from yolo_re_tpu.models.yolo import YOLO
 from yolo_re_tpu.parallel.mesh import (
     make_mesh,
     replicate_tree,
+    warmup_collectives,
     shard_batch,
 )
 from yolo_re_tpu.train.checkpoint import (load_checkpoint, save_checkpoint,
@@ -138,10 +139,20 @@ class Trainer:
             # ship uint8 to the device; the train step normalizes there
             data.uint8_images = True
 
+        # Multi-host data parallelism: after parallel.mesh.init_distributed
+        # jax.process_count() > 1, the mesh spans every host, and each
+        # process's loader yields its slice of the global batch (the
+        # global batch order is identical everywhere, so the assembled
+        # batches equal a single-process run's).
+        self._shard = None
+        if self.config.data_parallel and jax.process_count() > 1:
+            self._shard = (jax.process_index(), jax.process_count())
+
         if train_loader is None:
             assert data is not None and data.train_path, \
                 "either data.train_path or train_loader is required"
-            train_loader = create_dataloader(data.train_path, data, "train")
+            train_loader = create_dataloader(data.train_path, data, "train",
+                                             shard=self._shard)
         self.train_loader = train_loader
         if val_loader is None and data is not None and data.val_path:
             val_loader = create_dataloader(data.val_path, data, "val")
@@ -200,6 +211,9 @@ class Trainer:
             self.stats = replicate_tree(self.stats, self.mesh)
             self.opt_bufs = replicate_tree(self.opt_bufs, self.mesh)
             self.ema = replicate_tree(self.ema, self.mesh)
+            # Multi-process: establish the mesh's collective context NOW,
+            # before the train-step compile — see warmup_collectives.
+            warmup_collectives(self.mesh)
             log.info("data parallel over %d devices", self.mesh.size)
 
         self.global_step = 0
@@ -285,7 +299,9 @@ class Trainer:
         slow links to the accelerator this hides most of the transfer."""
         images, targets = batch["images"], batch["targets"]
         if self.mesh is not None:
-            n = self.mesh.size
+            # This process's slice must divide its local devices (the
+            # global batch / global devices check ran at construction).
+            n = jax.local_device_count()
             b = images.shape[0]
             if b % n:
                 # Never zero-pad into a TRAIN step: padded rows would enter
@@ -349,10 +365,18 @@ class Trainer:
         output_dir/debug/ like the reference's evaluator (evaluator.py:164-196)."""
         if self.val_loader is None:
             return {}
+        p, s = self.ema["params"], self.ema["stats"]
+        if jax.process_count() > 1:
+            # Validation is process-0 work: pull the (replicated) EMA
+            # weights to the host so the eval jit runs on local devices
+            # only — no cross-host collectives, other processes proceed
+            # straight to the next epoch's first psum and wait there.
+            if jax.process_index():
+                return {}
+            p, s = jax.device_get(p), jax.device_get(s)
         evaluator = Evaluator(self.model, self.val_loader,
                               debug_dir=str(Path(self.config.output_dir) / "debug"))
-        return evaluator.evaluate(self.ema["params"], self.ema["stats"],
-                                  epoch=epoch + 1)
+        return evaluator.evaluate(p, s, epoch=epoch + 1)
 
     def train(self) -> dict[str, float]:
         cfg = self.config
@@ -384,6 +408,8 @@ class Trainer:
         limits to stdout prints, SURVEY §5)."""
         import json
 
+        if jax.process_index():  # one writer per cluster
+            return
         out_dir.mkdir(parents=True, exist_ok=True)
         record = {
             "epoch": epoch,
@@ -403,6 +429,8 @@ class Trainer:
     # -- checkpointing -------------------------------------------------------
 
     def _save(self, path: Path, epoch: int) -> None:
+        if jax.process_index():  # one writer per cluster
+            return
         save_fn = (save_checkpoint_orbax
                    if self.config.checkpoint_format == "orbax"
                    else save_checkpoint)
