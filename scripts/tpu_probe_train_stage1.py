@@ -1,0 +1,193 @@
+"""Dissect stage1's training cost and prototype packed train-mode convs.
+
+Round-3 follow-up to the per-layer backward profile (profile_train.py
+--per-layer), which attributed 73.2 ms of the 182 ms train step (40%) to
+stage1 — a RepNCSPELAN4 whose working tensors are 32/64-channel at 160²,
+i.e. the T(8,128) lane-padded regime where every HBM crossing pays 2-4x
+and the MXU runs quarter-full. ~338 GFLOP in 73 ms is ~9% utilization.
+
+Stages (STAGE env var):
+  block   — stage1 fwd / fwd+bwd in isolation, train vs eval-unfused,
+            to split conv cost from BN-stat + dual-RepConv overhead.
+  conv    — single-conv microbenches: each stage1 conv shape, fwd+bwd,
+            XLA unpacked vs width-packed (p=2/4) with the packed kernel
+            built from raw weights INSIDE the traced function (autodiff
+            then yields exact unpacked grads through the packing).
+  stem    — stem1 (3->64 s2 @640) train-mode fwd+bwd: XLA vs slab-batched
+            (docs/performance.md: slabbing is bit-exact for cin=3 and
+            3.3x better per pixel at inference; does it help the train
+            step where the weight-grad contracts over batch?).
+
+Usage:  python scripts/tpu_probe_train_stage1.py            # all stages
+        STAGE=conv python scripts/tpu_probe_train_stage1.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yolo_re_tpu.utils.platform import select_platform  # noqa: E402
+
+select_platform()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from yolo_re_tpu.utils.profiling import device_timer  # noqa: E402
+
+B, H, W = 32, 160, 160
+DT = jnp.bfloat16
+
+
+def timed_grad(fn, *args, wrt=(0,)):
+    """fwd+bwd seconds: value_and_grad of sum(fn(args)) wrt args[wrt]."""
+    def obj(*a):
+        return fn(*a).astype(jnp.float32).sum()
+
+    g = jax.value_and_grad(obj, argnums=wrt)
+
+    def runner(x, *rest):
+        val, grads = g(x, *rest)
+        return val + sum(gi.astype(jnp.float32).ravel()[0]
+                         for gi in jax.tree_util.tree_leaves(grads))
+    return device_timer(runner, *args, iters=10)
+
+
+def stage_block():
+    from yolo_re_tpu.models.blocks import RepNCSPELAN4
+
+    cfg = RepNCSPELAN4.Config(128, 256, 128, 64, num_repeats=1)
+    params, stats = RepNCSPELAN4.init(jax.random.key(0), cfg)
+    params = jax.tree.map(lambda p: p, params)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (B, H, W, 128)), DT)
+
+    def fwd_train(x, p):
+        return RepNCSPELAN4.apply(cfg, p, stats, x, train=True)[0]
+
+    def fwd_eval(x, p):
+        return RepNCSPELAN4.apply(cfg, p, stats, x, train=False)[0]
+
+    t_ft = device_timer(lambda x, p: fwd_train(x, p), x, params) * 1e3
+    t_fe = device_timer(lambda x, p: fwd_eval(x, p), x, params) * 1e3
+
+    def obj_train(p, x):
+        return fwd_train(x, p).astype(jnp.float32).sum()
+
+    def obj_eval(p, x):
+        return fwd_eval(x, p).astype(jnp.float32).sum()
+
+    def bwd_runner(obj):
+        def run(x, p):
+            val, grads = jax.value_and_grad(obj)(p, x)
+            return val + sum(g.astype(jnp.float32).ravel()[0]
+                             for g in jax.tree_util.tree_leaves(grads))
+        return run
+
+    t_bt = device_timer(bwd_runner(obj_train), x, params) * 1e3
+    t_be = device_timer(bwd_runner(obj_eval), x, params) * 1e3
+    print(f"stage1 fwd   train {t_ft:6.2f} ms | eval-unfused {t_fe:6.2f} ms")
+    print(f"stage1 f+b   train {t_bt:6.2f} ms | eval-unfused {t_be:6.2f} ms")
+    print(f"  -> BN-stat+dual-RepConv overhead: fwd {t_ft - t_fe:.2f} ms, "
+          f"f+b {t_bt - t_be:.2f} ms")
+
+
+def _pack_w(x, p):
+    """(B,H,W,C) -> (B,H,W/p,p*C) width packing (lane fill)."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // p, p * c)
+
+
+def _unpack_w(x, p):
+    b, h, wp, pc = x.shape
+    return x.reshape(b, h, wp * p, pc // p)
+
+
+def _packed_kernel_3x3(w, p, cin, cout):
+    """Build the width-packed 3x3 kernel from the raw HWIO kernel inside
+    the trace: output phase q at packed column X reads input columns
+    p*X+q-1 .. p*X+q+1, i.e. phases (q-1)%p, q, (q+1)%p with column
+    offsets. Packed kernel: (3, 1+2/p rounded -> 3, p*cin, p*cout) with
+    zero blocks; linear in w, so autodiff recovers exact raw grads."""
+    kw = 3  # packed width taps: offsets -1, 0, +1 in packed columns
+    wp = jnp.zeros((3, kw, p * cin, p * cout), w.dtype)
+    for q in range(p):            # output phase
+        for t in range(3):        # raw column tap: -1, 0, +1
+            col = q + t - 1       # raw column offset from packed col start
+            pc, off = col % p, col // p   # input phase, packed-col offset
+            wp = wp.at[:, off + 1, pc * cin:(pc + 1) * cin,
+                       q * cout:(q + 1) * cout].add(w[:, t])
+    return wp
+
+
+def conv_micro():
+    from yolo_re_tpu.ops.conv import conv2d
+
+    rng = np.random.default_rng(0)
+    shapes = [
+        ("conv_in 1x1 128->128", 1, 128, 128),
+        ("cv 3x3 64->64", 3, 64, 64),
+        ("csp 1x1 64->32", 1, 64, 32),
+        ("rep 3x3 32->32", 3, 32, 32),
+        ("conv_out 1x1 256->256", 1, 256, 256),
+    ]
+    for name, k, cin, cout in shapes:
+        x = jnp.asarray(rng.standard_normal((B, H, W, cin)), DT)
+        w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.05, DT)
+        t = timed_grad(
+            lambda x, w, k=k: conv2d(x, w, stride=1, padding=k // 2),
+            x, w, wrt=(0, 1)) * 1e3
+        flops = 2 * B * H * W * k * k * cin * cout * 3  # fwd+2 grad convs
+        print(f"{name:24s} XLA      f+b {t:6.2f} ms "
+              f"({flops / t / 1e9:5.1f} TF/s)")
+
+        if cout > 128 or k != 3:
+            continue
+        p = 128 // cout
+        xp = _pack_w(x, p)
+
+        def packed(xp, w, p=p, cin=cin, cout=cout):
+            wp = _packed_kernel_3x3(w, p, cin, cout)
+            return conv2d(xp, wp, stride=1, padding=1)
+
+        # parity first
+        ref = conv2d(x, w, stride=1, padding=1)
+        got = _unpack_w(packed(xp, w), p)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                    - got.astype(jnp.float32))))
+        tp = timed_grad(packed, xp, w, wrt=(0, 1)) * 1e3
+        print(f"{name:24s} packed{p}x f+b {tp:6.2f} ms "
+              f"(err {err:.2e}) {'WIN' if tp < t else 'lose'} "
+              f"{t / tp:.2f}x")
+
+
+def stem_micro():
+    from yolo_re_tpu.ops.conv import conv_bn_act, init_conv_bn
+
+    rng = np.random.default_rng(0)
+    params, stats = init_conv_bn(jax.random.key(0), 3, 64, 3)
+    x = jnp.asarray(rng.standard_normal((32, 640, 640, 3)), DT)
+
+    def stem_plain(x, p):
+        return conv_bn_act(p, stats, x, stride=2, padding=1, train=True)[0]
+
+    # wrt=(1,): weight grads ONLY — the image needs no input grad, which
+    # is what the real train step computes for stem1.
+    t = timed_grad(stem_plain, x, params, wrt=(1,)) * 1e3
+    t_f = device_timer(lambda x, p: stem_plain(x, p), x, params) * 1e3
+    print(f"stem1 train fwd {t_f:6.2f} ms | f+b (weight grads only) "
+          f"{t:6.2f} ms")
+
+
+STAGES = {"block": stage_block, "conv": conv_micro, "stem": stem_micro}
+
+if __name__ == "__main__":
+    which = os.environ.get("STAGE")
+    print(f"devices: {jax.devices()}")
+    for name, fn in STAGES.items():
+        if which and name != which:
+            continue
+        print(f"--- {name} ---")
+        fn()

@@ -43,6 +43,18 @@ from yolo_re_tpu.ops.conv import (
 Params = dict[str, Any]
 
 
+def _packed_train_enabled(cfg) -> bool:
+    """Gate for the width-packed train path: stage1 geometry only, with a
+    kill switch (YOLO_TPU_PACKED_TRAIN=0, read at trace time — changing it
+    after a train step compiled has no effect on that cache entry)."""
+    import os
+
+    if os.environ.get("YOLO_TPU_PACKED_TRAIN", "1") == "0":
+        return False
+    from yolo_re_tpu.ops.packed_elan import supports_packing
+    return supports_packing(cfg)
+
+
 # ---------------------------------------------------------------------------
 # Conv
 # ---------------------------------------------------------------------------
@@ -330,6 +342,18 @@ class RepNCSPELAN4:
 
     @staticmethod
     def apply(cfg: RepNCSPELAN4Config, params, stats, x, *, train=False):
+        if (train and x.dtype == jnp.bfloat16 and x.shape[2] % 4 == 0
+                and _packed_train_enabled(cfg)):
+            # Width-packed TRAIN path (round 3): the direct graph runs this
+            # block's 32/64-ch convs at 2-36 TF/s — 40% of the whole train
+            # step (scripts/profile_train.py --per-layer). Packed kernels
+            # are built from the raw weights in-trace, so autodiff returns
+            # exact raw-weight grads; BN stats phase-fold to the raw
+            # channels. bf16-only: the f32 path keeps two-pass reference
+            # numerics (see ops/packed_elan_train.py).
+            from yolo_re_tpu.ops.packed_elan_train import (
+                apply_packed_elan_train)
+            return apply_packed_elan_train(cfg, params, stats, x)
         if not train and "packed" in params and x.shape[2] % 4 == 0:
             # Width-packed fused path (built in models/fuse.py when the
             # block geometry qualifies — see ops/packed_elan.py). Batch
