@@ -183,6 +183,104 @@ def stem_micro():
 
 STAGES = {"block": stage_block, "conv": conv_micro, "stem": stem_micro}
 
+
+def stem_s2d():
+    """Train-mode stem1 (3->64 s2 @640) reformulated via space-to-depth:
+    x -> (B,320,320,12) phase planes, stride-1 2x2 conv with a rearranged
+    kernel. Same sums re-associated; the question is whether the
+    weight-grad conv (8 ms under the native stride-2 lowering, ~15x off
+    roofline) lowers better when the contraction has 12 input channels
+    and no stride. Inference measured s2d SLOWER for the forward alone
+    (docs/performance.md 'What lost'); training is a different trade."""
+    from yolo_re_tpu.ops.conv import BN_EPS, BN_MOMENTUM, init_conv_bn
+
+    rng = np.random.default_rng(0)
+    params, stats = init_conv_bn(jax.random.key(0), 3, 64, 3)
+    x = jnp.asarray(rng.standard_normal((32, 640, 640, 3)), DT)
+
+    def pack_kernel(w):
+        # raw tap (kh, kw) with SAME pad 1 at stride 2: output (i,j) reads
+        # raw (2i+kh-1, 2j+kw-1) = phase ((kh-1)%2, (kw-1)%2) of s2d cell
+        # (i + (kh-1)//2 - ?, ...). Use explicit enumeration with a 2x2
+        # window at pad 1 in s2d space... simpler: pad raw by 1, s2d the
+        # padded tensor of size (642)^2 -> (321,321,12), window 2x2 valid.
+        wp = jnp.zeros((2, 2, 12, 64), w.dtype)
+        for kh in range(3):
+            for kw in range(3):
+                ph, oh = (kh % 2), kh // 2
+                pw, ow = (kw % 2), kw // 2
+                c0 = (ph * 2 + pw) * 3
+                wp = wp.at[oh, ow, c0:c0 + 3, :].add(w[kh, kw])
+        return wp
+
+    def fwd(x, p, train_stats=True):
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))  # 642x642
+        b, h, w, c = xp.shape
+        xs = xp.reshape(b, h // 2, 2, w // 2, 2, c).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        from yolo_re_tpu.ops.packed_elan_train import _conv_f32
+        y = _conv_f32(xs, pack_kernel(p["w"]).astype(xs.dtype), (1, 1),
+                      ((0, 0), (0, 0)))
+        y = y.astype(jnp.bfloat16)
+        yf = y.astype(jnp.float32)
+        mean = jnp.mean(yf, axis=(0, 1, 2))
+        var = jnp.maximum(jnp.mean(jnp.square(yf), axis=(0, 1, 2))
+                          - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + BN_EPS) * p["scale"]
+        y = y * inv.astype(y.dtype) + (p["bias"] - mean * inv).astype(y.dtype)
+        return (y * jax.nn.sigmoid(y)).astype(jnp.bfloat16)
+
+    # parity vs the native path
+    from yolo_re_tpu.ops.conv import conv_bn_act
+    ref = conv_bn_act(params, stats, x, stride=2, padding=1, train=True)[0]
+    got = fwd(x, params)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    t_f = device_timer(lambda x, p: fwd(x, p), x, params) * 1e3
+    t = timed_grad(fwd, x, params, wrt=(1,)) * 1e3
+    print(f"stem1 s2d  train fwd {t_f:6.2f} ms | f+b (weight grads) "
+          f"{t:6.2f} ms | err vs native {err:.2e}")
+
+
+def conv_micro2():
+    """stage2/fpn2-geometry conv shapes at 80 squared (hidden 256, block
+    128): the sub-128-lane pieces are the csp interiors at 64ch."""
+    from yolo_re_tpu.ops.conv import conv2d
+
+    global B, H, W
+    rng = np.random.default_rng(0)
+    shapes = [
+        ("csp-entry 1x1 128->64", 1, 128, 64),
+        ("rep 3x3 64->64 @80", 3, 64, 64),
+        ("csp3 1x1 128->128", 1, 128, 128),
+        ("cv 3x3 128->128 @80", 3, 128, 128),
+    ]
+    for name, k, cin, cout in shapes:
+        x = jnp.asarray(rng.standard_normal((32, 80, 80, cin)), DT)
+        w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * 0.05, DT)
+        t = timed_grad(
+            lambda x, w, k=k: conv2d(x, w, stride=1, padding=k // 2),
+            x, w, wrt=(0, 1)) * 1e3
+        flops = 2 * 32 * 80 * 80 * k * k * cin * cout * 3
+        print(f"{name:24s} XLA      f+b {t:6.2f} ms "
+              f"({flops / t / 1e9:5.1f} TF/s)")
+        if cout != 64 or k != 3:
+            continue
+        xp = x.reshape(32, 80, 40, 2 * cin)
+
+        def packed(xp, w):
+            wp = _packed_kernel_3x3(w, 2, cin, cout)
+            return conv2d(xp, wp, stride=1, padding=1)
+
+        tp = timed_grad(packed, xp, w, wrt=(0, 1)) * 1e3
+        print(f"{name:24s} packed2x f+b {tp:6.2f} ms "
+              f"{'WIN' if tp < t else 'lose'} {t / tp:.2f}x")
+
+
+STAGES["stem_s2d"] = stem_s2d
+STAGES["conv2"] = conv_micro2
+
+
 if __name__ == "__main__":
     which = os.environ.get("STAGE")
     print(f"devices: {jax.devices()}")

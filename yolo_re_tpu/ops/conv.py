@@ -127,10 +127,14 @@ def _block_diag_expand(w: jax.Array, groups: int) -> jax.Array:
 
 def _conv_raw(x, w, stride, padding, groups, dilation, preferred):
     precision = (lax.Precision.HIGHEST if x.dtype == jnp.float32 else None)
+    if not isinstance(stride, tuple):
+        stride = (stride, stride)
+    if not isinstance(padding, tuple):
+        padding = ((padding, padding), (padding, padding))
     return lax.conv_general_dilated(
         x, w,
-        window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        window_strides=stride,
+        padding=padding,
         rhs_dilation=(dilation, dilation),
         feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -142,6 +146,9 @@ def _conv_raw(x, w, stride, padding, groups, dilation, preferred):
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _conv_acc_f32(x, w, stride, padding, groups, dilation):
     """Conv whose OUTPUT is f32 regardless of operand dtype.
+
+    stride/padding accept ints or explicit tuples ((h,h),(w,w)) — both
+    hashable, as nondiff args must be.
 
     `preferred_element_type=f32` alone is not differentiable for bf16
     operands (the conv transpose rejects the f32 cotangent against bf16

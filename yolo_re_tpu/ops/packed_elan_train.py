@@ -37,7 +37,6 @@ packed; see docs/performance.md for the whole-block and end-to-end numbers.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax
@@ -45,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from yolo_re_tpu.ops.conv import BN_EPS, BN_MOMENTUM
+from yolo_re_tpu.ops.conv import BN_EPS, BN_MOMENTUM, _conv_acc_f32
 from yolo_re_tpu.ops.packed_elan import BLOCK, HIDDEN, _HB, supports_packing
 
 Params = dict[str, Any]
@@ -53,35 +52,11 @@ Params = dict[str, Any]
 __all__ = ["apply_packed_elan_train", "supports_packing"]
 
 
-def _raw_conv(x, w, strides, padding, preferred):
-    return lax.conv_general_dilated(
-        x, w, strides, padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=preferred)
-
-
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _conv_f32(x, w, strides, padding):
-    """bf16 conv with f32 accumulation/output — differentiable.
-
-    Same story as ops/conv.py:_conv_acc_f32 (preferred_element_type=f32
-    alone is not differentiable for bf16 operands), generalized to the
-    packed path's asymmetric (1, stride_w) strides."""
-    return _raw_conv(x, w, strides, padding, jnp.float32)
-
-
-def _conv_f32_fwd(x, w, strides, padding):
-    return _conv_f32(x, w, strides, padding), (x, w)
-
-
-def _conv_f32_bwd(strides, padding, res, g):
-    x, w = res
-    _, vjp = jax.vjp(lambda xx, ww: _raw_conv(xx, ww, strides, padding,
-                                              None), x, w)
-    return vjp(g.astype(x.dtype))
-
-
-_conv_f32.defvjp(_conv_f32_fwd, _conv_f32_bwd)
+    """bf16 conv with f32 accumulation/output, differentiable — the
+    shared custom-VJP conv (ops/conv.py:_conv_acc_f32, which accepts the
+    packed path's asymmetric (1, stride_w) strides as tuples)."""
+    return _conv_acc_f32(x, w, strides, padding, 1, 1)
 
 
 # ---------------------------------------------------------------------------
