@@ -277,8 +277,98 @@ def conv_micro2():
               f"{'WIN' if tp < t else 'lose'} {t / tp:.2f}x")
 
 
+def csp_stage2():
+    """Whole-CSP probe at stage2/fpn2 geometry: RepNCSP(128->128, hidden
+    64) at 80 squared, direct train graph vs a p=2 width-packed interior.
+
+    The packed version needs no relayout OPS: the canonical packed layout
+    [pix0-chans | pix1-chans] is byte-identical to NHWC, so entry and
+    exit are plain reshapes; the 1x1s become block-structured kernels
+    with zero FLOP inflation and only the 3x3s pay 2x (tiny at 64ch).
+
+    MEASURED OUTCOME (2026-08, one v5e): 1.34x fwd+bwd IN ISOLATION
+    (7.96 -> 5.94 ms) — but the full product implementation was an
+    end-to-end NEGATIVE both ways (train 202.8 -> 201.4 img/s, inference
+    804 -> 769, 2x2 A/B) and was reverted: in context the entry/exit
+    reshapes are real T(8,128) tile RELAYOUTS (HBM stores the tiled
+    layout, not the byte order), one on each side of each of 4 CSPs.
+    See docs/performance.md "What lost". This stage remains as the
+    recorded experiment.
+    """
+    from yolo_re_tpu.models.blocks import RepNCSP
+    from yolo_re_tpu.ops.packed_elan_train import (
+        _canon, _pack_same_jnp, _pconv_bn)
+
+    cfg = RepNCSP.Config(128, 128, num_repeats=1)
+    params, stats = RepNCSP.init(jax.random.key(0), cfg)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (32, 80, 80, 128)), DT)
+    hb = 64
+
+    def direct(x, p):
+        return RepNCSP.apply(cfg, p, stats, x, train=True)[0]
+
+    def pack_entry(w):
+        # 1x1 128->64 -> block-diag (1,1,256,128) emitting packed 64ch
+        wp = jnp.zeros((1, 1, 256, 128), w.dtype)
+        for q in range(2):
+            wp = wp.at[0, 0, q * 128:(q + 1) * 128,
+                       q * hb:(q + 1) * hb].set(w[0, 0])
+        return wp
+
+    def pack_conv3(w):
+        # 1x1 128->128 over concat[r_q0 r_q1 y2_q0 y2_q1]
+        wp = jnp.zeros((1, 1, 256, 256), w.dtype)
+        for q in range(2):
+            wp = wp.at[0, 0, q * hb:(q + 1) * hb,
+                       q * 128:(q + 1) * 128].set(w[0, 0, :hb])
+            wp = wp.at[0, 0, 128 + q * hb:128 + (q + 1) * hb,
+                       q * 128:(q + 1) * 128].set(w[0, 0, hb:])
+        return wp
+
+    c2_64, c2_128 = _canon(2, hb), _canon(2, 128)
+
+    def packed(x, P):
+        B_, H_, W_, _ = x.shape
+        z = x.reshape(B_, H_, W_ // 2, 256)
+        m, _ = _pconv_bn(z, pack_entry(P["conv1"]["w"]), P["conv1"],
+                         stats["conv1"], c2_64)
+        r = m
+        for pb, sb in zip(P["bottlenecks"], stats["bottlenecks"]):
+            rp, rs = pb["conv1"], sb["conv1"]
+            t1, _ = _pconv_bn(r, _pack_same_jnp(rp["conv1"]["w"], 2),
+                              rp["conv1"], rs["conv1"], c2_64, act=False)
+            t2, _ = _pconv_bn(r, _pack_same_jnp(rp["conv2"]["w"], 2),
+                              rp["conv2"], rs["conv2"], c2_64, act=False)
+            t = t1 + t2
+            t = (t * jax.nn.sigmoid(t)).astype(jnp.bfloat16)
+            t, _ = _pconv_bn(t, _pack_same_jnp(pb["conv2"]["w"], 2),
+                             pb["conv2"], sb["conv2"], c2_64)
+            r = r + t
+        y2, _ = _pconv_bn(z, pack_entry(P["conv2"]["w"]), P["conv2"],
+                          stats["conv2"], c2_64)
+        y3, _ = _pconv_bn(jnp.concatenate([r, y2], -1),
+                          pack_conv3(P["conv3"]["w"]), P["conv3"],
+                          stats["conv3"], c2_128)
+        return y3.reshape(B_, H_, W_, 128)
+
+    ref = jax.jit(direct)(x, params)
+    got = jax.jit(packed)(x, params)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    t_df = device_timer(direct, x, params) * 1e3
+    t_pf = device_timer(packed, x, params) * 1e3
+    t_d = timed_grad(direct, x, params, wrt=(0, 1)) * 1e3
+    t_p = timed_grad(packed, x, params, wrt=(0, 1)) * 1e3
+    print(f"csp@stage2 fwd  direct {t_df:6.2f} ms | packed {t_pf:6.2f} ms "
+          f"| {t_df / t_pf:4.2f}x | err {err:.2e}")
+    print(f"csp@stage2 f+b  direct {t_d:6.2f} ms | packed {t_p:6.2f} ms "
+          f"| {t_d / t_p:4.2f}x {'WIN' if t_p < t_d else 'lose'}")
+
+
 STAGES["stem_s2d"] = stem_s2d
 STAGES["conv2"] = conv_micro2
+STAGES["csp"] = csp_stage2
 
 
 if __name__ == "__main__":

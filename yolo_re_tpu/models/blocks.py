@@ -87,6 +87,35 @@ class Conv:
 
     @staticmethod
     def apply(cfg: ConvConfig, params, stats, x, *, train=False):
+        if (train and x.dtype == jnp.bfloat16
+                and cfg.in_channels == 3 and cfg.kernel_size == 3
+                and cfg.stride == 2 and cfg.groups == 1
+                and cfg.dilation == 1 and cfg.padding in (None, 1)
+                and cfg.activation == "silu"
+                and jax.default_backend() == "tpu"
+                and x.shape[0] <= 64 and x.shape[1] % 4 == 0
+                and x.shape[2] % 2 == 0):
+            from yolo_re_tpu.ops.stem_train import (
+                stem1_conv_train,
+                stem_train_enabled,
+            )
+            if stem_train_enabled():
+                # Train-mode Pallas stem (ops/stem_train.py): phase-plane
+                # forward + 2-MXU-pass weight grad (XLA's weight-grad conv
+                # for the cin=3 s2 stem is ~8 ms, ~15x off roofline), BN on
+                # the packed layout. First-layer-only (returns zero input
+                # grads); the consumer detects the row-paired packed
+                # layout by channel count below, like the fused path.
+                # bf16-only; same batch <= 64 emitter gate as inference.
+                return stem1_conv_train(cfg, params, stats, x)
+        if (train and x.dtype == jnp.bfloat16
+                and x.shape[-1] == 2 * cfg.in_channels
+                and cfg.kernel_size == 3 and cfg.stride == 2
+                and cfg.groups == 1 and cfg.dilation == 1
+                and cfg.padding in (None, 1) and cfg.activation == "silu"):
+            from yolo_re_tpu.ops.stem_train import (
+                stem2_conv_from_packed_train)
+            return stem2_conv_from_packed_train(cfg, params, stats, x)
         if not train and "pallas_stem" in params:
             # Fused stem fast path (models/fuse.py post-pass): emit the
             # row-paired packed layout the Pallas kernel produces —
@@ -283,6 +312,13 @@ class RepNCSP:
 
     @staticmethod
     def apply(cfg: RepNCSPConfig, params, stats, x, *, train=False):
+        # NOTE: a p=2 width-packed rewrite of this block's 64ch interior
+        # (stage2/fpn2 geometry) was built, tested, and 2x2-A/B-measured
+        # as an end-to-end NEGATIVE both ways (train 202.8 -> 201.4 img/s,
+        # inference 804 -> 769) despite a 1.34x isolated fwd+bwd win —
+        # the NHWC<->packed boundary reshapes are real T(8,128) tile
+        # relayouts in context. See docs/performance.md "What lost" and
+        # scripts/tpu_probe_train_stage1.py STAGE=csp.
         c1, c2, c3, cb = RepNCSP._sub(cfg)
         y1, s1 = Conv.apply(c1, params["conv1"], stats["conv1"], x, train=train)
         sbs = []

@@ -38,8 +38,11 @@ def _cpu_fingerprint() -> str:
 
 
 def cache_dir() -> str:
-    base = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/jax_comp_cache"))
+    # `or` (not a dict default): an EMPTY env var must also fall back,
+    # else the fingerprint suffix becomes a relative "-<hash>" directory
+    # created in whatever cwd the process runs from.
+    base = (os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or os.path.expanduser("~/.cache/jax_comp_cache"))
     return f"{base}-{_cpu_fingerprint()}"
 
 
