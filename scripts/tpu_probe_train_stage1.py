@@ -366,9 +366,55 @@ def csp_stage2():
           f"| {t_d / t_p:4.2f}x {'WIN' if t_p < t_d else 'lose'}")
 
 
+def stem_pair():
+    """Train-mode stem1+stem2 (3->64->128, s2 each, @640) f+b: direct XLA
+    graph vs the packed Pallas pair (ops/stem_train.py — phase-plane
+    forward, 2-MXU-pass weight grad, packed BN, row-pair stem2)."""
+    from yolo_re_tpu.models.blocks import Conv, ConvConfig
+    from yolo_re_tpu.ops.stem_train import (
+        stem1_conv_train, stem2_conv_from_packed_train)
+
+    cfg1 = ConvConfig(3, 64, kernel_size=3, stride=2)
+    cfg2 = ConvConfig(64, 128, kernel_size=3, stride=2)
+    p1, s1 = Conv.init(jax.random.key(0), cfg1)
+    p2, s2 = Conv.init(jax.random.key(1), cfg2)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (32, 640, 640, 3)), DT)
+
+    import os
+    os.environ["YOLO_TPU_STEM_TRAIN"] = "0"
+
+    def direct(x, ps):
+        y, _ = Conv.apply(cfg1, ps[0], s1, x, train=True)
+        z, _ = Conv.apply(cfg2, ps[1], s2, y, train=True)
+        return z
+
+    def packed(x, ps):
+        y, _ = stem1_conv_train(cfg1, ps[0], s1, x)
+        z, _ = stem2_conv_from_packed_train(cfg2, ps[1], s2, y)
+        return z
+
+    ps = (p1, p2)
+    ref = jax.jit(direct)(x, ps)
+    got = jax.jit(packed)(x, ps)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    t_df = device_timer(direct, x, ps) * 1e3
+    t_pf = device_timer(packed, x, ps) * 1e3
+    # weight grads only, like the real step (no image grad)
+    t_d = timed_grad(direct, x, ps, wrt=(1,)) * 1e3
+    t_p = timed_grad(packed, x, ps, wrt=(1,)) * 1e3
+    del os.environ["YOLO_TPU_STEM_TRAIN"]
+    print(f"stem pair fwd  direct {t_df:6.2f} ms | packed {t_pf:6.2f} ms "
+          f"| {t_df / t_pf:4.2f}x | err {err:.2e}")
+    print(f"stem pair f+b  direct {t_d:6.2f} ms | packed {t_p:6.2f} ms "
+          f"| {t_d / t_p:4.2f}x {'WIN' if t_p < t_d else 'lose'}")
+
+
 STAGES["stem_s2d"] = stem_s2d
 STAGES["conv2"] = conv_micro2
 STAGES["csp"] = csp_stage2
+STAGES["stem_pair"] = stem_pair
 
 
 if __name__ == "__main__":

@@ -413,3 +413,158 @@ def test_packed_elan_train_gates():
         x_odd = jax.random.normal(jax.random.key(1), (2, 8, 10, 96),
                                   jnp.bfloat16)
         B.RepNCSPELAN4.apply(cfg, params, stats, x_odd, train=True)
+
+
+def test_stem_raw_kernel_matches_conv():
+    """stem_conv_packed_raw (pre-BN, no bias/act, traced weights) must
+    equal the plain stride-2 conv up to bf16 rounding (interpret mode)."""
+    from yolo_re_tpu.ops.pallas.stem_kernel import (
+        stem_conv_packed_raw, to_phase_planes, unpack_rows)
+    from yolo_re_tpu.ops.stem_train import _pack_w2_jnp
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 64)) * 0.1, jnp.float32)
+    for bsz, h, wd in ((2, 16, 24), (1, 8, 16)):
+        x = jnp.asarray(rng.standard_normal((bsz, h, wd, 3)), jnp.bfloat16)
+        ref = jax.lax.conv_general_dilated(
+            x, w.astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        got = stem_conv_packed_raw(to_phase_planes(x), _pack_w2_jnp(w),
+                                   wo=wd // 2, interpret=True)
+        got = unpack_rows(got).astype(jnp.float32)
+        np.testing.assert_allclose(np.asarray(got),
+                                   np.asarray(ref.astype(jnp.bfloat16),
+                                              np.float32),
+                                   atol=0.05, rtol=0.05)
+
+
+def test_stem_wgrad_kernel_matches_autodiff():
+    """stem_wgrad_packed must reproduce the weight gradient of the plain
+    conv (same contraction re-associated; f32 check via autodiff of the
+    XLA conv against the kernel's dW2 unpacked through _pack_w2_jnp)."""
+    from yolo_re_tpu.ops.pallas.stem_kernel import (
+        stem_wgrad_packed, to_phase_planes)
+
+    rng = np.random.default_rng(1)
+    bsz, h, wd = 2, 16, 24
+    x = jnp.asarray(rng.standard_normal((bsz, h, wd, 3)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 64)) * 0.1, jnp.float32)
+    g_nhwc = jnp.asarray(rng.standard_normal((bsz, h // 2, wd // 2, 64)),
+                         jnp.bfloat16)
+
+    def loss(w):
+        from yolo_re_tpu.ops.conv import conv2d
+        y = conv2d(x, w, stride=2, padding=1)
+        return jnp.sum(y * g_nhwc.astype(jnp.float32))
+
+    g_ref = jax.grad(loss)(w)
+
+    # row-paired packed cotangent: g_packed[b, i, ox, 64r+c] = g[b, 2i+r, ox, c]
+    gp = g_nhwc.reshape(bsz, h // 4, 2, wd // 2, 64).transpose(
+        0, 1, 3, 2, 4).reshape(bsz, h // 4, wd // 2, 128)
+    dw2 = stem_wgrad_packed(to_phase_planes(x), gp, interpret=True)
+    dw = (dw2[:32, :64] + dw2[32:, 64:])[:27].reshape(3, 3, 3, 64)
+    rel = (np.linalg.norm(np.asarray(dw) - np.asarray(g_ref))
+           / np.linalg.norm(np.asarray(g_ref)))
+    assert rel < 0.02, f"wgrad rel L2 {rel:.4f}"
+
+
+def test_stem_train_pair_matches_direct():
+    """The packed train-mode stem pair (ops/stem_train.py) must match the
+    direct two-Conv train graph: forward activations, BN stat updates,
+    and raw-weight gradients (bf16 re-association tolerances calibrated
+    in test_packed_elan_train_matches_direct)."""
+    from yolo_re_tpu.ops.stem_train import (
+        stem1_conv_train, stem2_conv_from_packed_train)
+
+    cfg1 = B.ConvConfig(3, 64, kernel_size=3, stride=2)
+    cfg2 = B.ConvConfig(64, 128, kernel_size=3, stride=2)
+    p1, s1 = B.Conv.init(jax.random.key(0), cfg1)
+    p2, s2 = B.Conv.init(jax.random.key(1), cfg2)
+    x = jax.random.normal(jax.random.key(2), (2, 16, 24, 3), jnp.bfloat16)
+
+    def packed(p1, p2):
+        y, ns1 = stem1_conv_train(cfg1, p1, s1, x, interpret=True)
+        z, ns2 = stem2_conv_from_packed_train(cfg2, p2, s2, y)
+        return z, (ns1, ns2)
+
+    def direct(p1, p2):
+        y, ns1 = B.Conv.apply(cfg1, p1, s1, x, train=True)
+        z, ns2 = B.Conv.apply(cfg2, p2, s2, y, train=True)
+        return z, (ns1, ns2)
+
+    z_p, ns_p = packed(p1, p2)
+    z_d, ns_d = direct(p1, p2)
+    assert z_p.shape == z_d.shape == (2, 4, 6, 128)
+    assert z_p.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(z_p, np.float32),
+                               np.asarray(z_d, np.float32),
+                               rtol=0.05, atol=0.02)
+    flat_p = jax.tree_util.tree_leaves_with_path(ns_p)
+    flat_d = jax.tree_util.tree_leaves(ns_d)
+    assert len(flat_p) == len(flat_d)
+    for (path, a), b in zip(flat_p, flat_d):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path))
+
+    def loss_of(fn):
+        def f(ps):
+            z, _ = fn(ps[0], ps[1])
+            w = jnp.arange(z.size, dtype=jnp.float32).reshape(z.shape) % 7
+            return (z.astype(jnp.float32) * w).mean()
+        return f
+
+    g_p = jax.grad(loss_of(packed))((p1, p2))
+    g_d = jax.grad(loss_of(direct))((p1, p2))
+    flat_p = jax.tree_util.tree_leaves_with_path(g_p)
+    flat_d = jax.tree_util.tree_leaves(g_d)
+    all_p = np.concatenate([np.asarray(a, np.float32).ravel()
+                            for _, a in flat_p])
+    all_d = np.concatenate([np.asarray(b, np.float32).ravel()
+                            for b in flat_d])
+    rel_all = np.linalg.norm(all_p - all_d) / np.linalg.norm(all_d)
+    assert rel_all < 0.12, f"global grad rel L2 {rel_all:.4f}"
+    for (path, a), b in zip(flat_p, flat_d):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-9)
+        name = jax.tree_util.keystr(path)
+        bound = 0.15 if name.endswith("['w']") else 0.9
+        assert rel < bound, f"{name}: rel L2 {rel:.4f} (bound {bound})"
+
+
+def test_stem_train_gates():
+    """The Pallas stem train path must not engage on the CPU backend, for
+    f32 inputs, or under the mesh guard; the packed-consumer path must
+    not engage for normally-shaped inputs."""
+    from unittest import mock
+
+    from yolo_re_tpu.ops import stem_train
+
+    cfg1 = B.ConvConfig(3, 64, kernel_size=3, stride=2)
+    p1, s1 = B.Conv.init(jax.random.key(0), cfg1)
+    with mock.patch("yolo_re_tpu.ops.stem_train.stem1_conv_train",
+                    side_effect=AssertionError("must not engage")):
+        # CPU backend: the gate requires tpu
+        x = jax.random.normal(jax.random.key(1), (2, 16, 24, 3),
+                              jnp.bfloat16)
+        B.Conv.apply(cfg1, p1, s1, x, train=True)
+        x32 = jax.random.normal(jax.random.key(1), (2, 16, 24, 3))
+        B.Conv.apply(cfg1, p1, s1, x32, train=True)
+    # mesh guard disables even where the backend would allow it
+    stem_train.set_mesh_guard(True)
+    try:
+        assert not stem_train.stem_train_enabled()
+    finally:
+        stem_train.set_mesh_guard(False)
+    assert stem_train.stem_train_enabled()
+    # normally-shaped train conv does not take the packed-consumer path
+    cfg2 = B.ConvConfig(64, 128, kernel_size=3, stride=2)
+    p2, s2 = B.Conv.init(jax.random.key(2), cfg2)
+    with mock.patch("yolo_re_tpu.ops.stem_train."
+                    "stem2_conv_from_packed_train",
+                    side_effect=AssertionError("must not engage")):
+        y = jax.random.normal(jax.random.key(3), (2, 8, 12, 64),
+                              jnp.bfloat16)
+        B.Conv.apply(cfg2, p2, s2, y, train=True)

@@ -96,22 +96,16 @@ def _pack_downsample_jnp(w: jax.Array, cin: int, cout: int) -> jax.Array:
 # Packed conv + train-mode BN (+ optional SiLU)
 # ---------------------------------------------------------------------------
 
-def _pconv_bn(x, wp, p_raw, stats, lane_to_raw, *, stride_w=1, act=True):
-    """Packed conv -> train BatchNorm (phase-folded stats) -> SiLU.
+def bn_act_train(y, p_raw, stats, lane_to_raw, *, act=True):
+    """Train BatchNorm on a lane-packed bf16 tensor (phase-folded batch
+    stats) -> optional SiLU.
 
-    wp: packed kernel; p_raw: raw {"w","scale","bias"} (only scale/bias
-    used here); lane_to_raw: static (lanes,) int map from packed output
-    lane to raw channel (every raw channel appears lanes/C times).
-    Returns (bf16 activations, {"mean","var"} running-stat update) with
-    the exact update formula of ops/conv.py:conv_bn_act.
-    """
-    kh, kw = wp.shape[0], wp.shape[1]
-    pad_h = kh // 2
-    pad_w = 1 if (kw == 3) else 0
-    y = _conv_f32(x, wp.astype(x.dtype), (1, stride_w),
-                  ((pad_h, pad_h), (pad_w, pad_w)))
-    y = y.astype(jnp.bfloat16)
-
+    y: (B, H, Wp, lanes) bf16 pre-BN activations where packed lane l
+    carries raw channel lane_to_raw[l] and every raw channel appears
+    lanes/C times with equal pixel counts; p_raw: raw {"scale","bias"};
+    stats: raw {"mean","var"}. Returns (bf16 activations, running-stat
+    update) with the exact update formula of ops/conv.py:conv_bn_act
+    (bf16 one-pass moments with f32 accumulators)."""
     lanes = y.shape[-1]
     C = p_raw["scale"].shape[0]
     phases = lanes // C
@@ -136,6 +130,24 @@ def _pconv_bn(x, wp, p_raw, stats, lane_to_raw, *, stride_w=1, act=True):
     if act:
         y = y * jax.nn.sigmoid(y)
     return y.astype(jnp.bfloat16), new_stats
+
+
+def _pconv_bn(x, wp, p_raw, stats, lane_to_raw, *, stride_w=1, act=True):
+    """Packed conv -> train BatchNorm (phase-folded stats) -> SiLU.
+
+    wp: packed kernel; p_raw: raw {"w","scale","bias"} (only scale/bias
+    used here); lane_to_raw: static (lanes,) int map from packed output
+    lane to raw channel (every raw channel appears lanes/C times).
+    Returns (bf16 activations, {"mean","var"} running-stat update) with
+    the exact update formula of ops/conv.py:conv_bn_act.
+    """
+    kh, kw = wp.shape[0], wp.shape[1]
+    pad_h = kh // 2
+    pad_w = 1 if (kw == 3) else 0
+    y = _conv_f32(x, wp.astype(x.dtype), (1, stride_w),
+                  ((pad_h, pad_h), (pad_w, pad_w)))
+    y = y.astype(jnp.bfloat16)
+    return bn_act_train(y, p_raw, stats, lane_to_raw, act=act)
 
 
 def _canon(p: int, c: int) -> np.ndarray:

@@ -87,20 +87,20 @@ def build_stem_kernel_weights(fused):
             "b2": jnp.asarray(np.concatenate([b, b])[None, :])}
 
 
-def _kernel(xt_hbm, w2_ref, b2_ref, out_ref, scratch, sem, *, to: int,
-            wo: int, wp: int, cout: int, nj: int):
+def _dma_phase(xt_hbm, scratch, sem, *, to: int, nj: int):
+    """Edge-clamped double-buffered input DMA shared by the forward and
+    weight-grad kernels (adown_kernel.py pattern): scratch row r holds
+    input row 2*to*j - 1 + r. Only the first row block reaches above the
+    image (global row -1): its scratch row 0 is skipped by the DMA and
+    zeroed (conv zero padding). nj is static: with a single row block the
+    j>0 arm would slice rows = 2*to+1 > H out of xt, so it must not be
+    traced at all. Returns the ready slot index."""
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
     step = b * nj + j
     rows = 2 * to + 1  # input rows 2*j*to - 1 .. 2*(j+1)*to - 1
 
-    # Edge-clamped double-buffered DMA (adown_kernel.py pattern): scratch
-    # row r holds input row 2*to*j - 1 + r. Only the first row block
-    # reaches above the image (global row -1): its scratch row 0 is
-    # skipped by the DMA and zeroed below (conv zero padding). nj is
-    # static: with a single row block the j>0 arm would slice
-    # rows = 2*to+1 > H out of xt, so it must not be traced at all.
     def dma_op(slot, bb, jj, do):
         def run(src, dst):
             d = pltpu.make_async_copy(src, dst, sem.at[slot])
@@ -136,12 +136,14 @@ def _kernel(xt_hbm, w2_ref, b2_ref, out_ref, scratch, sem, *, to: int,
     def _():
         scratch[step % 2, 0] = jnp.zeros_like(scratch[step % 2, 0])
 
-    # Assemble P^T for ALL `to` output rows of the block at once: two
-    # overlapping slab loads, row parity via leading-dim reshapes (free
-    # address arithmetic), then fold adjacent output-row pairs into the
-    # sublane (K) dim and fire ONE (to/2, 64, wp) x (64, 2*cout) MXU dot.
-    slot = step % 2
-    f32 = jnp.float32
+    return step % 2
+
+
+def _assemble_p2(scratch, slot, *, to: int, wp: int):
+    """Assemble P^T for ALL `to` output rows of the block at once: two
+    overlapping slab loads, row parity via leading-dim reshapes (free
+    address arithmetic), then fold adjacent output-row pairs into the
+    sublane (K) dim -> (to/2, 64, wp)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, wp), 2)
     zpad = jnp.zeros((to, 5, wp), scratch.dtype)
 
@@ -156,46 +158,96 @@ def _kernel(xt_hbm, w2_ref, b2_ref, out_ref, scratch, sem, *, to: int,
         pieces += [prev, sl[:, :3], odd]
     p = jnp.concatenate(pieces + [zpad], axis=1)         # (to, 32, wp)
     pr = p.reshape(to // 2, 2, 32, wp)
-    p2 = jnp.concatenate([pr[:, 0], pr[:, 1]], axis=1)   # (to/2, 64, wp)
+    return jnp.concatenate([pr[:, 0], pr[:, 1]], axis=1)  # (to/2, 64, wp)
+
+
+def _kernel(xt_hbm, w2_ref, b2_ref, out_ref, scratch, sem, *, to: int,
+            wo: int, wp: int, cout: int, nj: int, act: bool):
+    slot = _dma_phase(xt_hbm, scratch, sem, to=to, nj=nj)
+    p2 = _assemble_p2(scratch, slot, to=to, wp=wp)
+    # ONE (to/2, 64, wp) x (64, 2*cout) MXU dot per row-pair block.
     acc = jax.lax.dot_general(
         p2, w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=f32)                      # (to/2, wp, 2*cout)
+        preferred_element_type=jnp.float32)              # (to/2, wp, 2*cout)
     y = acc + b2_ref[:]
-    y = y * jax.nn.sigmoid(y)
+    if act:
+        y = y * jax.nn.sigmoid(y)
     out_ref[0] = y[:, :wo].astype(out_ref.dtype)
 
 
-def stem_conv_packed(x: jax.Array, weights, *, interpret: bool = False):
-    """x (B, H, W, 3) -> row-paired packed stem output (B, H/4, W/2, 2*Cout):
+def _wgrad_kernel(xt_hbm, g_ref, out_ref, scratch, acc_ref, sem, *,
+                  to: int, wo: int, wp: int, cout2: int, nj: int):
+    """dW2 (64, 2*cout) = sum over row-pair blocks of P2^T . g.
 
-        out[b, i, ox, Cout*r + c] = SiLU(conv3x3_s2_p1(x) + bias)[b, 2i+r, ox, c]
+    g arrives in the forward's row-paired packed layout (auto-pipelined
+    block (1, to/2, wo, 2*cout)); it is zero-padded to wp lanes so the
+    contraction can run over the full padded width (P2's lanes >= wo
+    multiply zeros — including the lane-roll garbage at lane wo). The
+    off-diagonal quarters of the (64, 2*cout) result (even-row taps x
+    odd-row grads) are computed-and-discarded by the caller's unpacking;
+    that 2x MXU waste is ~0.2 ms at 640px/b32, cheaper than splitting
+    the dot. The f32 accumulator lives in VMEM across the sequential
+    grid; the last step writes it out."""
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    nb = pl.num_programs(0)
+    step = b * nj + j
+    slot = _dma_phase(xt_hbm, scratch, sem, to=to, nj=nj)
+    p2 = _assemble_p2(scratch, slot, to=to, wp=wp)
+    g = g_ref[0].astype(scratch.dtype)                   # (to/2, wo, 2cout)
+    g = jnp.pad(g, ((0, 0), (0, wp - wo), (0, 0)))
+    # Mosaic supports only single-dim contractions: unroll the row-pair
+    # dim into to/2 plain (64, wp) x (wp, 2cout) MXU dots (static, <= 16).
+    d = sum(
+        jax.lax.dot_general(
+            p2[i], g[i], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for i in range(p2.shape[0]))                     # (64, 2*cout)
 
-    The packed tensor is exactly lane-tiled in HBM (no T(8,128) channel
-    padding); use `unpack_rows` for NHWC or `pack_next_conv_weights` to
-    let the following stride-2 conv consume it directly.
-    """
-    B, H, W, c = x.shape
-    assert c == CIN and H % 4 == 0 and W % 2 == 0
-    ho, wo = H // 2, W // 2
-    wp = -(-wo // 128) * 128
-    cout = weights["w2"].shape[1] // 2
+    @pl.when(step == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += d
+
+    @pl.when(step == nb * nj - 1)
+    def _():
+        out_ref[...] = acc_ref[...]
+
+
+def _block_rows(ho: int) -> int:
     # Row-block size: 32 measured ~5% faster than 16 at 640px (2.78 vs
     # 2.93 ms) — fewer grid steps amortize the per-step DMA/weight setup.
     # YOLO_TPU_STEM_TO is read at TRACE time (baked into the jit cache);
     # changing it after the first compile of a shape has no effect.
     import os
     tmax = max(2, int(os.environ.get("YOLO_TPU_STEM_TO", "32")))
-    to = next(t for t in (tmax, 32, 16, 8, 4, 2) if ho % t == 0 and t <= tmax)
-    dtype = x.dtype
+    return next(t for t in (tmax, 32, 16, 8, 4, 2)
+                if ho % t == 0 and t <= tmax)
 
-    # Phase-plane view: xt[b, iy, 3*(ix%2)+cin, ix//2] = x[b, iy, ix, cin].
-    # One XLA transpose+pad of the (dense) input; all later data movement
-    # is in-kernel. Planes 6..7 and lanes >= wo are zeros.
+
+def to_phase_planes(x: jax.Array) -> jax.Array:
+    """x (B, H, W, 3) -> phase-plane view xt (B, H, 8, wp):
+    xt[b, iy, 3*(ix%2)+cin, ix//2] = x[b, iy, ix, cin]. One XLA
+    transpose+pad of the (dense) input; all later data movement is
+    in-kernel. Planes 6..7 and lanes >= W/2 are zeros."""
+    B, H, W, c = x.shape
+    assert c == CIN and W % 2 == 0
+    wo = W // 2
+    wp = -(-wo // 128) * 128
     xt = jnp.transpose(x.reshape(B, H, wo, 6), (0, 1, 3, 2))
-    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, PLANES - 6), (0, wp - wo)))
+    return jnp.pad(xt, ((0, 0), (0, 0), (0, PLANES - 6), (0, wp - wo)))
 
-    kernel = partial(_kernel, to=to, wo=wo, wp=wp, cout=cout, nj=ho // to)
+
+def _stem_pallas(xt, w2, b2, *, ho: int, wo: int, act: bool, dtype,
+                 interpret: bool = False):
+    wp = xt.shape[-1]
+    cout = w2.shape[1] // 2
+    to = _block_rows(ho)
+    B = xt.shape[0]
+    kernel = partial(_kernel, to=to, wo=wo, wp=wp, cout=cout,
+                     nj=ho // to, act=act)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, ho // 2, wo, 2 * cout), dtype),
@@ -213,7 +265,74 @@ def stem_conv_packed(x: jax.Array, weights, *, interpret: bool = False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(xt, weights["w2"].astype(dtype), weights["b2"])
+    )(xt, w2.astype(dtype), b2)
+
+
+def stem_conv_packed(x: jax.Array, weights, *, interpret: bool = False):
+    """x (B, H, W, 3) -> row-paired packed stem output (B, H/4, W/2, 2*Cout):
+
+        out[b, i, ox, Cout*r + c] = SiLU(conv3x3_s2_p1(x) + bias)[b, 2i+r, ox, c]
+
+    The packed tensor is exactly lane-tiled in HBM (no T(8,128) channel
+    padding); use `unpack_rows` for NHWC or `pack_next_conv_weights` to
+    let the following stride-2 conv consume it directly.
+    """
+    B, H, W, c = x.shape
+    assert c == CIN and H % 4 == 0 and W % 2 == 0
+    xt = to_phase_planes(x)
+    return _stem_pallas(xt, weights["w2"], weights["b2"], ho=H // 2,
+                        wo=W // 2, act=True, dtype=x.dtype,
+                        interpret=interpret)
+
+
+def stem_conv_packed_raw(xt: jax.Array, w2: jax.Array, *, wo: int,
+                         dtype=jnp.bfloat16, interpret: bool = False):
+    """Pre-BN variant for TRAINING: phase-plane input xt (B, H, 8, wp),
+    TRACED block-diagonal weights w2 (64, 2*Cout) built in-trace from the
+    raw kernel (see ops/stem_train.py), no bias, no activation. Returns
+    the row-paired packed conv output (B, H/4, wo, 2*Cout) in `dtype`
+    (bf16: the cast into the compute dtype happens in the kernel
+    epilogue, matching the bf16 train path of ops/conv.py:251-268)."""
+    cout = w2.shape[1] // 2
+    b2 = jnp.zeros((1, 2 * cout), jnp.float32)
+    return _stem_pallas(xt, w2, b2, ho=xt.shape[1] // 2, wo=wo, act=False,
+                        dtype=dtype, interpret=interpret)
+
+
+def stem_wgrad_packed(xt: jax.Array, g: jax.Array, *,
+                      interpret: bool = False):
+    """Weight gradient of the packed stem conv: xt (B, H, 8, wp) phase
+    planes, g (B, H/4, wo, 2*Cout) cotangent in the row-paired packed
+    layout -> dW2 (64, 2*Cout) f32 (the cotangent of w2; unpack with the
+    transpose of the w2 packing). XLA's own weight-grad conv for the
+    cin=3 stride-2 stem runs ~15x off roofline (8.1 of the 15.9 ms
+    train-mode stem1, docs/performance.md); this is two MXU passes over
+    the already-materialized phase planes instead."""
+    B, H, _, wp = xt.shape
+    _, h4, wo, cout2 = g.shape
+    ho = H // 2
+    assert h4 == ho // 2
+    to = _block_rows(ho)
+    kernel = partial(_wgrad_kernel, to=to, wo=wo, wp=wp, cout2=cout2,
+                     nj=ho // to)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((64, cout2), jnp.float32),
+        grid=(B, ho // to),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # xt (manual DMA)
+            pl.BlockSpec((1, to // 2, wo, cout2),    # g (auto-pipelined)
+                         lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2 * to + 2, PLANES, wp), xt.dtype),
+            pltpu.VMEM((64, cout2), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(xt, g)
 
 
 def unpack_rows(packed: jax.Array) -> jax.Array:

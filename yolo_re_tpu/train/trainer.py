@@ -215,6 +215,11 @@ class Trainer:
             # before the train-step compile — see warmup_collectives.
             warmup_collectives(self.mesh)
             log.info("data parallel over %d devices", self.mesh.size)
+        # The Pallas train-mode stem has no SPMD partitioning rule; keep it
+        # out of mesh-sharded train steps (and re-arm it for single-chip
+        # trainers constructed later in the same process).
+        from yolo_re_tpu.ops.stem_train import set_mesh_guard
+        set_mesh_guard(self.mesh is not None)
 
         self.global_step = 0
         self.start_epoch = 0
