@@ -18,23 +18,38 @@ import os
 
 
 def _cpu_fingerprint() -> str:
-    """Hash of the host's CPU feature flags.
+    """Hash of the host CPU's identity AND feature flags.
 
     The persistent compilation cache stores XLA:CPU AOT executables
     compiled for the machine features detected at compile time. This VM
-    migrates across physical hosts with different feature sets; reusing
-    an artifact across that boundary intermittently SIGILLs ("Fatal
-    Python error: Aborted" mid-suite). Keying the cache dir on the flags
-    keeps each host population separate.
+    migrates across physical hosts; reusing an artifact across that
+    boundary intermittently SIGILLs/aborts ("Fatal Python error:
+    Aborted" mid-suite) — the loader only WARNS on a feature mismatch
+    and runs the stale code anyway (cpu_aot_loader.cc:210).
+
+    Hashing the `flags` line alone proved insufficient: LLVM derives
+    tuning features (e.g. `prefer-no-gather`, the Gather Data Sampling
+    mitigation) from the CPUID family/model — two hosts can share an
+    identical flags line yet produce incompatible AOT artifacts (seen
+    live 2026-08: an 8-device all-reduce program cached on the previous
+    host aborted inside AllReduceThunk on this one, same flags hash).
+    Include every CPUID identity line in the key.
     """
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.sha1(line.encode()).hexdigest()[:8]
+                if line.startswith(("flags", "cpu family", "model",
+                                    "stepping", "microcode",
+                                    "cpuid level")):
+                    ident.append(line.strip())
+                if line.strip() == "" and ident:
+                    break  # first core only; all cores are identical here
     except OSError:
         pass
-    return "nofpr"
+    if not ident:
+        return "nofpr"
+    return hashlib.sha1("\n".join(ident).encode()).hexdigest()[:8]
 
 
 def cache_dir() -> str:
