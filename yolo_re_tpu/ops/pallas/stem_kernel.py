@@ -177,7 +177,7 @@ def _kernel(xt_hbm, w2_ref, b2_ref, out_ref, scratch, sem, *, to: int,
 
 
 def _wgrad_kernel(xt_hbm, g_ref, out_ref, scratch, acc_ref, sem, *,
-                  to: int, wo: int, wp: int, cout2: int, nj: int):
+                  to: int, wo: int, wp: int, nj: int):
     """dW2 (64, 2*cout) = sum over row-pair blocks of P2^T . g.
 
     g arrives in the forward's row-paired packed layout (auto-pipelined
@@ -189,10 +189,8 @@ def _wgrad_kernel(xt_hbm, g_ref, out_ref, scratch, acc_ref, sem, *,
     that 2x MXU waste is ~0.2 ms at 640px/b32, cheaper than splitting
     the dot. The f32 accumulator lives in VMEM across the sequential
     grid; the last step writes it out."""
-    b = pl.program_id(0)
-    j = pl.program_id(1)
+    step = pl.program_id(0) * nj + pl.program_id(1)
     nb = pl.num_programs(0)
-    step = b * nj + j
     slot = _dma_phase(xt_hbm, scratch, sem, to=to, nj=nj)
     p2 = _assemble_p2(scratch, slot, to=to, wp=wp)
     g = g_ref[0].astype(scratch.dtype)                   # (to/2, wo, 2cout)
@@ -313,8 +311,7 @@ def stem_wgrad_packed(xt: jax.Array, g: jax.Array, *,
     ho = H // 2
     assert h4 == ho // 2
     to = _block_rows(ho)
-    kernel = partial(_wgrad_kernel, to=to, wo=wo, wp=wp, cout2=cout2,
-                     nj=ho // to)
+    kernel = partial(_wgrad_kernel, to=to, wo=wo, wp=wp, nj=ho // to)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((64, cout2), jnp.float32),
