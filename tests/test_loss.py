@@ -116,3 +116,4 @@ def test_pad_targets():
     assert out.shape == (2, 3, 5)
     assert out[0, 0, 0] == 1
     assert np.all(out[1] == 0)
+

@@ -120,8 +120,11 @@ class TaskAlignedAssigner:
         labels = jnp.clip(gt_labels[..., 0].astype(jnp.int32), 0, None)  # (B, M)
         # scores per (gt, anchor): gather class channel per GT
         scores_t = jnp.swapaxes(pd_scores, 1, 2)              # (B, nc, A)
+        # (B, M, A) is small — do the align-metric math in f32 even when
+        # the score stream arrives bf16 (loss/tal.py keeps prediction
+        # streams in their storage dtype; the cast fuses into the gather)
         bbox_scores = jnp.take_along_axis(
-            scores_t, labels[:, :, None], axis=1)             # (B, M, A)
+            scores_t, labels[:, :, None], axis=1).astype(jnp.float32)
         overlaps = bbox_iou(gt_bboxes[:, :, None, :], pd_bboxes[:, None, :, :],
                             xywh=False, iou_type="ciou")[..., 0]
         overlaps = jnp.clip(overlaps, 0.0, None)              # (B, M, A)

@@ -45,7 +45,14 @@ class LossConfig:
 
 
 def bce_with_logits(logits, targets, pos_weight: float = 1.0):
-    """Elementwise BCE-with-logits, numerically stable (== torch's)."""
+    """Elementwise BCE-with-logits, numerically stable (== torch's).
+
+    Math runs in f32 regardless of the logits' storage dtype — the cast
+    fuses into the read, so bf16 streams cost half the bandwidth without
+    changing the softplus numerics.
+    """
+    logits = logits.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)
     log_sig = -jax.nn.softplus(-logits)
     log_one_minus = -jax.nn.softplus(logits)
     return -(pos_weight * targets * log_sig + (1.0 - targets) * log_one_minus)
@@ -62,7 +69,7 @@ def df_loss(pred_dist, target, reg_max_minus1: int):
     tr = tl + 1
     wl = tr.astype(jnp.float32) - target
     wr = 1.0 - wl
-    logp = jax.nn.log_softmax(pred_dist, axis=-1)
+    logp = jax.nn.log_softmax(pred_dist.astype(jnp.float32), axis=-1)
     nbins = reg_max_minus1 + 1
     # Select the two neighboring bins with a dense one-hot weight vector
     # instead of take_along_axis: per-element gathers over the 16-wide
@@ -97,7 +104,17 @@ class TALoss:
     # -- helpers -----------------------------------------------------------
 
     def _flatten(self, feats):
-        """Per-level NHWC -> (B, A, 4*reg_max) distri + (B, A, nc) scores."""
+        """Per-level NHWC -> (B, A, 4*reg_max) distri + (B, A, nc) scores.
+
+        Streams are f32 even in bf16 training. A bf16-stream variant
+        (storage dtype kept, math in f32 via fused casts) was measured
+        2026-08 on v5e and REVERTED: TAL fwd got SLOWER (7.49 -> 8.01 ms)
+        and fwd+bwd was a wash (8.99 -> 8.78) — the loss is not
+        bandwidth-bound on these streams, and the per-consumer casts add
+        VPU work to already-fused loops. The downstream f32 casts in
+        bce_with_logits/df_loss/_decode are kept (no-ops for f32) so the
+        math stays f32 under any future stream dtype.
+        """
         b = feats[0].shape[0]
         flat = jnp.concatenate(
             [x.reshape(b, -1, self.no).astype(jnp.float32) for x in feats],
@@ -113,7 +130,8 @@ class TALoss:
         """(B, A, 4*reg_max) logits -> (B, A, 4) xyxy in grid units
         (reference: tal.py:315-320)."""
         b, a, c = pred_dist.shape
-        p = jax.nn.softmax(pred_dist.reshape(b, a, 4, c // 4), axis=-1)
+        p = jax.nn.softmax(
+            pred_dist.astype(jnp.float32).reshape(b, a, 4, c // 4), axis=-1)
         proj = jnp.arange(self.reg_max, dtype=jnp.float32)
         dist = jnp.einsum("bamr,r->bam", p, proj,
                           precision=jax.lax.Precision.HIGHEST)
