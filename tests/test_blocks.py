@@ -423,8 +423,10 @@ def test_stem_raw_kernel_matches_conv():
     from yolo_re_tpu.ops.stem_train import _pack_w2_jnp
 
     rng = np.random.default_rng(0)
-    w = jnp.asarray(rng.standard_normal((3, 3, 3, 64)) * 0.1, jnp.float32)
-    for bsz, h, wd in ((2, 16, 24), (1, 8, 16)):
+    # cout 64 (gelan-c) and 80 (gelan-e width 1.25: 160-lane packed output)
+    for cout, (bsz, h, wd) in ((64, (2, 16, 24)), (80, (1, 8, 16))):
+        w = jnp.asarray(rng.standard_normal((3, 3, 3, cout)) * 0.1,
+                        jnp.float32)
         x = jnp.asarray(rng.standard_normal((bsz, h, wd, 3)), jnp.bfloat16)
         ref = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
