@@ -554,6 +554,14 @@ def test_stem_train_gates():
         B.Conv.apply(cfg1, p1, s1, x, train=True)
         x32 = jax.random.normal(jax.random.key(1), (2, 16, 24, 3))
         B.Conv.apply(cfg1, p1, s1, x32, train=True)
+        # non-tile-multiple output width (gelan-e's 80ch stem): gated even
+        # on a TPU backend (measured 92.9 -> 88.6 img/s with the kernel)
+        cfg80 = B.ConvConfig(3, 80, kernel_size=3, stride=2)
+        p80, s80 = B.Conv.init(jax.random.key(4), cfg80)
+        with mock.patch("jax.default_backend", return_value="tpu"):
+            x = jax.random.normal(jax.random.key(5), (2, 16, 24, 3),
+                                  jnp.bfloat16)
+            B.Conv.apply(cfg80, p80, s80, x, train=True)
     # mesh guard disables even where the backend would allow it
     stem_train.set_mesh_guard(True)
     try:

@@ -92,6 +92,7 @@ class Conv:
                 and cfg.stride == 2 and cfg.groups == 1
                 and cfg.dilation == 1 and cfg.padding in (None, 1)
                 and cfg.activation == "silu"
+                and cfg.out_channels % 64 == 0
                 and jax.default_backend() == "tpu"
                 and x.shape[0] <= 64 and x.shape[1] % 4 == 0
                 and x.shape[2] % 2 == 0):
@@ -107,6 +108,10 @@ class Conv:
                 # grads); the consumer detects the row-paired packed
                 # layout by channel count below, like the fused path.
                 # bf16-only; same batch <= 64 emitter gate as inference.
+                # out_channels % 64: the packed output needs whole
+                # 128-lane tiles — gelan-e's 80ch stem (160 lanes)
+                # measured 92.9 -> 88.6 img/s with the kernel and is
+                # gated back to XLA.
                 return stem1_conv_train(cfg, params, stats, x)
         if (train and x.dtype == jnp.bfloat16
                 and x.shape[-1] == 2 * cfg.in_channels
