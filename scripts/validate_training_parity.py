@@ -92,7 +92,11 @@ def main() -> None:
 
     x_j = jnp.asarray(images.transpose(0, 2, 3, 1))
     raw_j, _ = jmodel.apply(params, stats, x_j, train=True)
-    raw_j = [np.asarray(r).transpose(0, 3, 1, 2) for r in raw_j]
+    # train preds are lane-aligned (box, cls) pairs; reassemble the
+    # reference's concatenated layout host-side (bit-identical values)
+    raw_j = [np.concatenate([np.asarray(yb), np.asarray(yc)],
+                            axis=-1).transpose(0, 3, 1, 2)
+             for yb, yc in raw_j]
 
     ok = True
     for i, (a, b) in enumerate(zip(raw_t, raw_j)):

@@ -58,8 +58,10 @@ def test_detect_dfl_shapes():
     feats = [jnp.zeros((2, 8, 8, 32)), jnp.zeros((2, 4, 4, 48)),
              jnp.zeros((2, 2, 2, 64))]
     raw, _ = DetectDFL.apply(cfg, params, stats, feats, train=True)
-    assert [r.shape for r in raw] == [(2, 8, 8, 72), (2, 4, 4, 72),
-                                      (2, 2, 2, 72)]
+    # train keeps lane-aligned (box, cls) pairs (no 72-channel concat)
+    assert [(yb.shape, yc.shape) for yb, yc in raw] == [
+        ((2, 8, 8, 64), (2, 8, 8, 8)), ((2, 4, 4, 64), (2, 4, 4, 8)),
+        ((2, 2, 2, 64), (2, 2, 2, 8))]
     (decoded, raw2), _ = DetectDFL.apply(cfg, params, stats, feats,
                                          train=False)
     assert decoded.shape == (2, 84, 12)

@@ -43,9 +43,10 @@ def test_train_forward_shapes(tiny_model):
     model, params, stats = tiny_model
     x = jnp.zeros((2, 64, 64, 3))
     raw, new_stats = model.apply(params, stats, x, train=True)
-    # 3 levels, channels = 4*16 + 8 classes = 72
-    assert [r.shape for r in raw] == [
-        (2, 8, 8, 72), (2, 4, 4, 72), (2, 2, 2, 72)]
+    # 3 levels of lane-aligned (box 4*16, cls 8) pairs
+    assert [(yb.shape, yc.shape) for yb, yc in raw] == [
+        ((2, 8, 8, 64), (2, 8, 8, 8)), ((2, 4, 4, 64), (2, 4, 4, 8)),
+        ((2, 2, 2, 64), (2, 2, 2, 8))]
 
 
 def test_eval_forward_decoded(tiny_model):
@@ -150,8 +151,9 @@ def test_dual_model_builds_and_forwards(tiny_dual_model_path):
     x = jnp.zeros((1, 64, 64, 3))
     raw, _ = model.apply(params, stats, x, train=True)
     assert set(raw) == {"aux", "main"}
-    assert [r.shape for r in raw["main"]] == [
-        (1, 8, 8, 72), (1, 4, 4, 72), (1, 2, 2, 72)]
+    assert [(yb.shape, yc.shape) for yb, yc in raw["main"]] == [
+        ((1, 8, 8, 64), (1, 8, 8, 8)), ((1, 4, 4, 64), (1, 4, 4, 8)),
+        ((1, 2, 2, 64), (1, 2, 2, 8))]
     (decoded, raw2), _ = model.apply(params, stats, x, train=False)
     assert decoded["main"].shape == (1, 84, 12)
     # fusion works through the dual graph

@@ -104,7 +104,14 @@ class TALoss:
     # -- helpers -----------------------------------------------------------
 
     def _flatten(self, feats):
-        """Per-level NHWC -> (B, A, 4*reg_max) distri + (B, A, nc) scores.
+        """Per-level preds -> (B, A, 4*reg_max) distri + (B, A, nc) scores.
+
+        feats is either the head's native list of (box, cls) NHWC pairs
+        (lane-aligned: the streams never pass through a concatenated
+        144-channel tensor, whose T(8,128) padding costs 1.78x HBM and
+        whose re-split is a lane-misaligned relayout) or the reference's
+        concatenated (B, H, W, no) maps (accepted for external callers /
+        parity harnesses; same values, re-associated).
 
         Streams are f32 even in bf16 training. A bf16-stream variant
         (storage dtype kept, math in f32 via fused casts) was measured
@@ -115,14 +122,29 @@ class TALoss:
         bce_with_logits/df_loss/_decode are kept (no-ops for f32) so the
         math stays f32 under any future stream dtype.
         """
+        if isinstance(feats[0], (tuple, list)):
+            b = feats[0][0].shape[0]
+            box = jnp.concatenate(
+                [yb.reshape(b, -1, self.reg_max * 4).astype(jnp.float32)
+                 for yb, _ in feats], axis=1)
+            cls = jnp.concatenate(
+                [yc.reshape(b, -1, self.num_classes).astype(jnp.float32)
+                 for _, yc in feats], axis=1)
+            return box, cls
         b = feats[0].shape[0]
         flat = jnp.concatenate(
             [x.reshape(b, -1, self.no).astype(jnp.float32) for x in feats],
             axis=1)
         return flat[..., :self.reg_max * 4], flat[..., self.reg_max * 4:]
 
+    @staticmethod
+    def _nhwc(level):
+        """A level's representative NHWC tensor ((box, cls) pair or map)."""
+        return level[0] if isinstance(level, (tuple, list)) else level
+
     def _anchors(self, feats):
-        shapes = [(x.shape[1], x.shape[2]) for x in feats]
+        shapes = [(self._nhwc(x).shape[1], self._nhwc(x).shape[2])
+                  for x in feats]
         anchors, stride_col = make_anchors_np(shapes, self.strides)
         return jnp.asarray(anchors), jnp.asarray(stride_col)
 
@@ -189,7 +211,8 @@ class TALoss:
     def forward_single(self, feats, targets):
         """feats: list of per-level NHWC raw maps
         (reference: tal.py:135-190)."""
-        h, w = feats[0].shape[1], feats[0].shape[2]
+        f0 = self._nhwc(feats[0])
+        h, w = f0.shape[1], f0.shape[2]
         img_h, img_w = h * self.strides[0], w * self.strides[0]
         anchor_points, stride_col = self._anchors(feats)
         gt_labels, gt_bboxes, mask_gt = self._prepare_targets(
@@ -201,14 +224,15 @@ class TALoss:
         loss = jnp.stack([iou_l * self.config.box_gain,
                           cls_l * self.config.cls_gain,
                           dfl_l * self.config.dfl_gain])
-        batch_size = feats[0].shape[0]
+        batch_size = self._nhwc(feats[0]).shape[0]
         return loss.sum() * batch_size, jax.lax.stop_gradient(loss)
 
     def forward_dual(self, preds, targets):
         """preds: {"aux": [...], "main": [...]}; aux weighted 0.25
         (reference: tal.py:192-285)."""
         feats_aux, feats_main = preds["aux"], preds["main"]
-        h, w = feats_main[0].shape[1], feats_main[0].shape[2]
+        fm0 = self._nhwc(feats_main[0])
+        h, w = fm0.shape[1], fm0.shape[2]
         img_h, img_w = h * self.strides[0], w * self.strides[0]
         anchor_points, stride_col = self._anchors(feats_main)
         gt_labels, gt_bboxes, mask_gt = self._prepare_targets(
@@ -224,7 +248,7 @@ class TALoss:
             (cls_a * 0.25 + cls_m) * self.config.cls_gain,
             (dfl_a * 0.25 + dfl_m) * self.config.dfl_gain,
         ])
-        batch_size = feats_main[0].shape[0]
+        batch_size = self._nhwc(feats_main[0]).shape[0]
         return loss.sum() * batch_size, jax.lax.stop_gradient(loss)
 
 

@@ -197,11 +197,20 @@ class DetectDFL:
               mode="full"):
         """feats: list of NHWC tensors, one per level.
 
-        Returns (train)        : (raw_levels, new_stats)
+        Returns (train)        : (list of per-level (box, cls) NHWC pairs,
+                                  new_stats)
                 (eval)         : ((decoded, raw_levels), new_stats)
                 (eval, "split"): ((box_logits, cls_logits), new_stats) —
                     the flat raw streams for lazy-decode NMS
                     (ops/nms.py: non_max_suppression_raw)
+
+        Train keeps the box/cls streams SEPARATE (the loss consumes the
+        halves anyway): the reference's concatenated (B, H, W, 144) layout
+        pads 144 lanes to 256 in HBM — 1.78x on the largest prediction
+        tensors, forward and backward — and re-splitting it is the
+        lane-misaligned channel slice the eval decode path already bans.
+        Reassembling the reference layout is one jnp.concatenate away
+        (scripts/validate_training_parity.py does it host-side).
         """
         c2, c3 = head_widths(cfg.in_channels[0], cfg.num_classes, cfg.reg_max)
         pairs, ns = [], []
@@ -212,14 +221,14 @@ class DetectDFL:
             pairs.append(y)
             ns.append(s)
         new_stats = {"towers": ns}
-        # raw keeps the reference's concatenated per-level layout; XLA
-        # dead-code-eliminates the concats when the caller only uses decoded.
-        if not train and mode == "split":
+        if train:
+            return pairs, new_stats
+        if mode == "split":
             return flatten_pairs(pairs, cfg.num_classes, cfg.reg_max), \
                 new_stats
+        # eval raw keeps the reference's concatenated per-level layout; XLA
+        # dead-code-eliminates the concats when the caller only uses decoded.
         raw = [jnp.concatenate([yb, yc], axis=-1) for yb, yc in pairs]
-        if train:
-            return raw, new_stats
         decoded = _decode(pairs, cfg.strides, cfg.num_classes, cfg.reg_max)
         return (decoded, raw), new_stats
 
@@ -299,13 +308,15 @@ class DualDetectDFL:
             main_pairs.append(y)
             main_ns.append(s)
         new_stats = {"aux": aux_ns, "main": main_ns}
-        if not train and mode == "split":  # serving path: main branch only
+        if train:
+            # separate (box, cls) streams — see DetectDFL.apply's note on
+            # the 144->256 lane padding of the concatenated layout
+            return {"aux": aux_pairs, "main": main_pairs}, new_stats
+        if mode == "split":  # serving path: main branch only
             return flatten_pairs(main_pairs, cfg.num_classes, cfg.reg_max), \
                 new_stats
         raw = {"aux": [jnp.concatenate([yb, yc], axis=-1) for yb, yc in aux_pairs],
                "main": [jnp.concatenate([yb, yc], axis=-1) for yb, yc in main_pairs]}
-        if train:
-            return raw, new_stats
         decoded = {
             "aux": _decode(aux_pairs, cfg.strides, cfg.num_classes, cfg.reg_max),
             "main": _decode(main_pairs, cfg.strides, cfg.num_classes, cfg.reg_max),

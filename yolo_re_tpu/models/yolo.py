@@ -98,8 +98,10 @@ class YOLO:
         """Run the plan. x is NHWC float (B, H, W, 3).
 
         Returns (head_output, new_stats). Head output:
-            train, single head : list of per-level raw NHWC preds
-            train, dual head   : {"aux": [...], "main": [...]}
+            train, single head : list of per-level (box, cls) NHWC pairs
+                                 (lane-aligned; the loss consumes pairs —
+                                 see models/heads.py:DetectDFL.apply)
+            train, dual head   : {"aux": [...], "main": [...]} of pairs
             eval, single head  : (decoded (B, A, 4+nc), raw)
             eval, dual head    : ({"aux": dec, "main": dec}, raw dict)
         """
