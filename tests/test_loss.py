@@ -117,3 +117,37 @@ def test_pad_targets():
     assert out[0, 0, 0] == 1
     assert np.all(out[1] == 0)
 
+
+
+def test_loss_pairs_match_concat_maps():
+    """TALoss must produce IDENTICAL losses for the head's native
+    (box, cls) pair layout and the reference's concatenated maps — the
+    pair path is a pure re-association (no extra rounding)."""
+    import numpy as np
+
+    from yolo_re_tpu.loss.tal import TALoss, pad_targets
+
+    rng = np.random.default_rng(0)
+    nc, reg_max = 8, 16
+    loss_fn = TALoss(nc, reg_max, [8.0, 16.0, 32.0])
+    pairs = []
+    for s in (16, 8, 4):
+        yb = jnp.asarray(rng.standard_normal((2, s, s, 4 * reg_max)) * 0.5,
+                         jnp.float32)
+        yc = jnp.asarray(rng.standard_normal((2, s, s, nc)) * 0.5,
+                         jnp.float32)
+        pairs.append((yb, yc))
+    maps = [jnp.concatenate([yb, yc], axis=-1) for yb, yc in pairs]
+    labels = [np.array([[1, 0.5, 0.5, 0.4, 0.4]], np.float32),
+              np.array([[3, 0.25, 0.3, 0.2, 0.25]], np.float32)]
+    targets = jnp.asarray(pad_targets(labels, 4))
+
+    total_p, items_p = loss_fn(pairs, targets)
+    total_m, items_m = loss_fn(maps, targets)
+    np.testing.assert_array_equal(np.asarray(items_p), np.asarray(items_m))
+    np.testing.assert_array_equal(np.asarray(total_p), np.asarray(total_m))
+
+    # dual-head: dict of pair lists == dict of concatenated maps
+    total_dp, _ = loss_fn({"aux": pairs, "main": pairs}, targets)
+    total_dm, _ = loss_fn({"aux": maps, "main": maps}, targets)
+    np.testing.assert_array_equal(np.asarray(total_dp), np.asarray(total_dm))
