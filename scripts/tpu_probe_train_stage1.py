@@ -411,10 +411,72 @@ def stem_pair():
           f"| {t_d / t_p:4.2f}x {'WIN' if t_p < t_d else 'lose'}")
 
 
+def adown_train():
+    """Decompose down1's train-mode cost (per-layer profile: 13.8 ms f+b,
+    the largest non-closed item after the packed stage1/stem work).
+
+    down1 = ADown(256, 256) @160²: avgpool(2,1,0) -> chunk(2) ->
+    [conv3x3 s2 128->128 | maxpool(3,2,1) + conv1x1 128->128] -> concat.
+    All tensors are >=128 lanes (no padding tax) — so any headroom is in
+    the POOLING lowering (reduce_window fwd + select-and-scatter bwd) and
+    epilogue fusion, not lane alignment. Micro rows isolate each op,
+    including a shift-add avgpool alternative vs reduce_window.
+    """
+    from yolo_re_tpu.models.blocks import ADown
+    from yolo_re_tpu.ops.conv import avg_pool2d, conv2d, max_pool2d
+
+    rng = np.random.default_rng(0)
+    cfg = ADown.Config(256, 256)
+    params, stats = ADown.init(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.standard_normal((B, H, W, 256)), DT)
+
+    def block(x, p):
+        return ADown.apply(cfg, p, stats, x, train=True)[0]
+
+    t_f = device_timer(block, x, params) * 1e3
+    t_fb = timed_grad(block, x, params, wrt=(0, 1)) * 1e3
+    print(f"down1 block     fwd {t_f:6.2f} ms | f+b {t_fb:6.2f} ms "
+          f"(profile said 13.8)")
+
+    # --- op micro rows (all with input grads, as in the real step) ---
+    xa = jnp.asarray(rng.standard_normal((B, H - 1, W - 1, 128)), DT)
+    t = timed_grad(lambda x: avg_pool2d(x, 2, 1, 0), x) * 1e3
+    print(f"avgpool 2x2 s1 256ch @160   f+b {t:6.2f} ms")
+
+    def avg_shift(x):
+        # stride-1 2x2 mean via 4 shifted slices (no reduce_window)
+        s = (x[:, :-1, :-1] + x[:, 1:, :-1] + x[:, :-1, 1:] + x[:, 1:, 1:])
+        return s * 0.25
+
+    ref = avg_pool2d(x, 2, 1, 0)
+    got = avg_shift(x)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    t = timed_grad(avg_shift, x) * 1e3
+    print(f"avgpool shift-add variant   f+b {t:6.2f} ms (err {err:.2e})")
+
+    t = timed_grad(lambda x: max_pool2d(x, 3, 2, 1), xa) * 1e3
+    print(f"maxpool 3x3 s2 128ch @159   f+b {t:6.2f} ms")
+
+    w3 = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, DT)
+    t = timed_grad(lambda x, w: conv2d(x, w, stride=2, padding=1),
+                   xa, w3, wrt=(0, 1)) * 1e3
+    fl = 2 * B * 80 * 80 * 9 * 128 * 128 * 3
+    print(f"conv3x3 s2 128->128 @159    f+b {t:6.2f} ms "
+          f"({fl / t / 1e9:5.1f} TF/s)")
+
+    xm = jnp.asarray(rng.standard_normal((B, 80, 80, 128)), DT)
+    w1 = jnp.asarray(rng.standard_normal((1, 1, 128, 128)) * 0.05, DT)
+    t = timed_grad(lambda x, w: conv2d(x, w, stride=1, padding=0),
+                   xm, w1, wrt=(0, 1)) * 1e3
+    print(f"conv1x1 128->128 @80        f+b {t:6.2f} ms")
+
+
 STAGES["stem_s2d"] = stem_s2d
 STAGES["conv2"] = conv_micro2
 STAGES["csp"] = csp_stage2
 STAGES["stem_pair"] = stem_pair
+STAGES["adown"] = adown_train
 
 
 if __name__ == "__main__":
