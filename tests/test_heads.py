@@ -92,3 +92,27 @@ def test_dual_detect_shapes():
                                              train=False)
     assert decoded["aux"].shape == (1, 84, 12)
     assert decoded["main"].shape == (1, 84, 12)
+
+
+def test_train_pairs_kill_switch_restores_reference_layout():
+    """YOLO_TPU_TRAIN_PAIRS=0 (trace-time) makes the train head emit the
+    reference's concatenated per-level maps; values equal the pairs path's
+    concat exactly (the switch only moves where the concat happens)."""
+    import os
+
+    cfg = DetectDFLConfig(num_classes=8, in_channels=(32, 48, 64),
+                          strides=(8, 16, 32))
+    params, stats = DetectDFL.init(jax.random.key(0), cfg)
+    feats = [jax.random.normal(jax.random.key(i + 1), (2, s, s, c))
+             for i, (s, c) in enumerate([(8, 32), (4, 48), (2, 64)])]
+    pairs, _ = DetectDFL.apply(cfg, params, stats, feats, train=True)
+    os.environ["YOLO_TPU_TRAIN_PAIRS"] = "0"
+    try:
+        maps, _ = DetectDFL.apply(cfg, params, stats, feats, train=True)
+    finally:
+        del os.environ["YOLO_TPU_TRAIN_PAIRS"]
+    assert [m.shape for m in maps] == [(2, 8, 8, 72), (2, 4, 4, 72),
+                                       (2, 2, 2, 72)]
+    for m, (yb, yc) in zip(maps, pairs):
+        np.testing.assert_array_equal(
+            np.asarray(m), np.asarray(jnp.concatenate([yb, yc], axis=-1)))

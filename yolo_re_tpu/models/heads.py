@@ -18,6 +18,7 @@ Differences from the reference (src/yolo/heads/detect.py):
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -211,6 +212,10 @@ class DetectDFL:
         lane-misaligned channel slice the eval decode path already bans.
         Reassembling the reference layout is one jnp.concatenate away
         (scripts/validate_training_parity.py does it host-side).
+        YOLO_TPU_TRAIN_PAIRS=0 (read at trace time) restores the
+        reference's concatenated train output for A/B measurement; the
+        loss accepts both layouts with bit-identical results
+        (tests/test_loss.py::test_loss_pairs_match_concat_maps).
         """
         c2, c3 = head_widths(cfg.in_channels[0], cfg.num_classes, cfg.reg_max)
         pairs, ns = [], []
@@ -222,6 +227,9 @@ class DetectDFL:
             ns.append(s)
         new_stats = {"towers": ns}
         if train:
+            if os.environ.get("YOLO_TPU_TRAIN_PAIRS", "1") == "0":
+                return ([jnp.concatenate([yb, yc], axis=-1)
+                         for yb, yc in pairs], new_stats)
             return pairs, new_stats
         if mode == "split":
             return flatten_pairs(pairs, cfg.num_classes, cfg.reg_max), \
@@ -311,6 +319,12 @@ class DualDetectDFL:
         if train:
             # separate (box, cls) streams — see DetectDFL.apply's note on
             # the 144->256 lane padding of the concatenated layout
+            # (YOLO_TPU_TRAIN_PAIRS=0 restores the reference layout)
+            if os.environ.get("YOLO_TPU_TRAIN_PAIRS", "1") == "0":
+                return ({"aux": [jnp.concatenate([yb, yc], axis=-1)
+                                 for yb, yc in aux_pairs],
+                         "main": [jnp.concatenate([yb, yc], axis=-1)
+                                  for yb, yc in main_pairs]}, new_stats)
             return {"aux": aux_pairs, "main": main_pairs}, new_stats
         if mode == "split":  # serving path: main branch only
             return flatten_pairs(main_pairs, cfg.num_classes, cfg.reg_max), \
