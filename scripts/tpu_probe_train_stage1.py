@@ -471,6 +471,31 @@ def adown_train():
                    xm, w1, wrt=(0, 1)) * 1e3
     print(f"conv1x1 128->128 @80        f+b {t:6.2f} ms")
 
+    # --- block with shift-add avgpool substituted (candidate rewrite) ---
+    from yolo_re_tpu.models.blocks import Conv
+
+    def block_shift(x, p):
+        cs, cp = ADown._sub(cfg)
+        xa = avg_shift(x)
+        half = xa.shape[-1] // 2
+        x1, x2 = xa[..., :half], xa[..., half:]
+        y1, _ = Conv.apply(cs, p["conv_stride"], stats["conv_stride"],
+                           x1, train=True)
+        x2 = max_pool2d(x2, 3, 2, 1)
+        y2, _ = Conv.apply(cp, p["conv_pool"], stats["conv_pool"],
+                           x2, train=True)
+        return jnp.concatenate([y1, y2], axis=-1)
+
+    ref = jax.jit(block)(x, params)
+    got = jax.jit(block_shift)(x, params)
+    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                - got.astype(jnp.float32))))
+    t_f2 = device_timer(block_shift, x, params) * 1e3
+    t_fb2 = timed_grad(block_shift, x, params, wrt=(0, 1)) * 1e3
+    print(f"block shift-avg fwd {t_f2:6.2f} ms | f+b {t_fb2:6.2f} ms "
+          f"(err {err:.2e}) {'WIN' if t_fb2 < t_fb else 'lose'} "
+          f"{t_fb / t_fb2:.2f}x")
+
 
 STAGES["stem_s2d"] = stem_s2d
 STAGES["conv2"] = conv_micro2
