@@ -227,6 +227,9 @@ def test_block_parity(case):
                                 [jax.numpy.asarray(f) for f in feats],
                                 train=True)
     assert len(ours) == len(refs) == 3
-    for lvl, (o, r) in enumerate(zip(ours, refs)):
+    for lvl, ((ob, oc), r) in enumerate(zip(ours, refs)):
+        # train mode emits lane-aligned (box, cls) pairs; the reference's
+        # concatenated map is one concatenate away (models/heads.py)
+        o = jax.numpy.concatenate([ob, oc], axis=-1)
         np.testing.assert_allclose(np.asarray(o), to_nhwc(r), atol=1e-5,
                                    err_msg=f"DetectDFL level {lvl}")

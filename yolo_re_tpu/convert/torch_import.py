@@ -348,8 +348,10 @@ def upstream_to_reference_sd(sd: SD, model_name: str, *,
     reference's naming, so `convert_state_dict` ingests real pretrained
     checkpoints one-hop (reference: scripts/convert_weights.py:204-249).
 
-    Derived-not-loaded keys (anchors/strides buffers, BN
-    num_batches_tracked counters) are dropped silently; a DFL projection
+    Derived-not-loaded keys (anchors/strides buffers) are dropped
+    silently (BN num_batches_tracked counters are KEPT — the reference
+    schema carries them and the convert CLI accounts for them); a DFL
+    projection
     conv (`model.N.dfl*.conv.weight`) is VERIFIED against the arange
     projection this framework derives and raises on mismatch rather than
     silently replacing a non-standard value. Under `strict` (default),
@@ -371,8 +373,13 @@ def upstream_to_reference_sd(sd: SD, model_name: str, *,
         else:
             idx, rest = None, key
         tail = rest.rsplit(".", 1)[-1]
-        if tail in ("anchors", "strides", "num_batches_tracked"):
+        if tail in ("anchors", "strides"):
             continue  # derived / not loaded
+        # num_batches_tracked counters flow through the key map like any
+        # other BN buffer: the reference's own converter keeps them, the
+        # pytree ingestion never reads them, and the convert CLI's
+        # consumed-key accounting expects them (export_state_dict emits
+        # them for strict=True reference loads).
         if rest.startswith("dfl") and rest.endswith("conv.weight"):
             w = np.asarray(tensor, np.float32).reshape(-1)
             if not np.allclose(w, np.arange(w.size, dtype=np.float32)):
