@@ -98,7 +98,7 @@ def _load_ours_into(tblock, emit, params, stats):
 
 @pytest.mark.parametrize("case", [
     "Conv", "Conv-train", "RepConv", "RepNCSPELAN4", "ADown", "SPPELAN",
-    "DetectDFL",
+    "DetectDFL", "CBLinear-CBFuse", "DualDetectDFL",
 ])
 def test_block_parity(case):
     import jax
@@ -207,6 +207,66 @@ def test_block_parity(case):
         ours, _ = B.SPPELAN.apply(cfg, params, stats, jax.numpy.asarray(x))
         np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6,
                                    err_msg=case)
+        return
+
+    if case == "CBLinear-CBFuse":
+        # the yolov9-c auxiliary routing pair, chained like the real graph:
+        # two CBLinear taps -> CBFuse(select + nearest-resize + sum)
+        from yolo.blocks.auxiliary import CBFuse as TCBFuse
+        from yolo.blocks.auxiliary import CBLinear as TCBLinear
+
+        cfg1 = B.CBLinearConfig(24, (16, 24, 32))
+        cfg2 = B.CBLinearConfig(24, (16, 24))
+        p1, s1 = B.CBLinear.init(key, cfg1)
+        p2, s2 = B.CBLinear.init(jax.random.key(1), cfg2)
+        t1 = _load_ours_into(TCBLinear(24, [16, 24, 32]),
+                             lambda o, p, pp, ss: TE._cblinear(o, p, pp),
+                             p1, s1)
+        t2 = _load_ours_into(TCBLinear(24, [16, 24]),
+                             lambda o, p, pp, ss: TE._cblinear(o, p, pp),
+                             p2, s2)
+        xa = rng.uniform(-1, 1, (2, 16, 16, 24)).astype(np.float32)
+        xb = rng.uniform(-1, 1, (2, 8, 8, 24)).astype(np.float32)
+        target = rng.uniform(-1, 1, (2, 4, 4, 24)).astype(np.float32)
+        fuse_cfg = B.CBFuseConfig(idx=(1, 1))
+        with torch.no_grad():
+            rt1 = t1(to_torch(xa))
+            rt2 = t2(to_torch(xb))
+            ref = to_nhwc(TCBFuse([1, 1])([rt1, rt2, to_torch(target)]))
+        o1, _ = B.CBLinear.apply(cfg1, p1, s1, jax.numpy.asarray(xa))
+        o2, _ = B.CBLinear.apply(cfg2, p2, s2, jax.numpy.asarray(xb))
+        for split, rsplit in zip(o1 + o2, rt1 + rt2):
+            np.testing.assert_allclose(np.asarray(split), to_nhwc(rsplit),
+                                       atol=1e-6, err_msg="CBLinear split")
+        ours, _ = B.CBFuse.apply(fuse_cfg, {}, {},
+                                 [o1, o2, jax.numpy.asarray(target)])
+        np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-6,
+                                   err_msg=case)
+        return
+
+    if case == "DualDetectDFL":
+        from yolo.heads.detect import DualDetectDFL as TDual
+
+        chans = (32, 48, 64, 32, 48, 64)
+        cfg = H.DualDetectDFLConfig(num_classes=7, in_channels=chans,
+                                    strides=(8.0, 16.0, 32.0))
+        params, stats = H.DualDetectDFL.init(key, cfg)
+        tb = _load_ours_into(TDual(7, chans), TE._dual_detect, params, stats)
+        tb.train(True)
+        feats = [rng.uniform(-1, 1, (2, s, s, c)).astype(np.float32)
+                 for s, c in zip((16, 8, 4, 16, 8, 4), chans)]
+        with torch.no_grad():
+            ref_aux, ref_main = tb([to_torch(f) for f in feats])
+        ours, _ = H.DualDetectDFL.apply(
+            cfg, params, stats, [jax.numpy.asarray(f) for f in feats],
+            train=True)
+        for branch, refs in (("aux", ref_aux), ("main", ref_main)):
+            assert len(ours[branch]) == len(refs) == 3
+            for lvl, ((ob, oc), r) in enumerate(zip(ours[branch], refs)):
+                o = jax.numpy.concatenate([ob, oc], axis=-1)
+                np.testing.assert_allclose(
+                    np.asarray(o), to_nhwc(r), atol=1e-5,
+                    err_msg=f"DualDetectDFL {branch} level {lvl}")
         return
 
     # DetectDFL: train-mode raw per-level predictions (box||cls channels);
