@@ -509,6 +509,21 @@ class ADown:
 
     @staticmethod
     def apply(cfg: ADownConfig, params, stats, x, *, train=False):
+        if (train and x.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"):
+            from yolo_re_tpu.ops.adown_train import (
+                adown_train_enabled,
+                adown_train_supported,
+                apply_adown_train,
+            )
+            if adown_train_supported(cfg, x) and adown_train_enabled():
+                # Train-mode Pallas ADown pair (ops/adown_train.py): the
+                # direct graph's pooling lowerings + the packed-stage1
+                # boundary relayout cost ~13.8 ms f+b at down1; the fused
+                # kernels do both branches' pooling and convs in VMEM
+                # with a full Pallas backward (dx + both weight grads).
+                # bf16-only; YOLO_TPU_ADOWN_TRAIN=0 kills it.
+                return apply_adown_train(cfg, params, stats, x)
         if (not train and "pallas" in params
                 and x.shape[-1] == 2 * cfg.in_channels):
             # Producer emitted the width-packed layout (models/fuse.py

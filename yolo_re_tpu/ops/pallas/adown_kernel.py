@@ -74,7 +74,7 @@ def build_adown_kernel_weights(fused, dtype=jnp.bfloat16):
 
 
 def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
-            *, to: int, wp: int, h: int, wp_true: int):
+            *, to: int, wp: int, h: int, wp_true: int, raw: bool = False):
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -174,8 +174,11 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
                             wk_ref[kh, 1, :HALF], preferred_element_type=f32)
         acc = acc + jnp.dot(sel(pc).reshape(to * wp, HALF),
                             wk_ref[kh, 1, HALF:], preferred_element_type=f32)
-    y1 = acc + b1_ref[:]
-    y1 = y1 * jax.nn.sigmoid(y1)
+    if raw:          # train mode: pre-BN conv output, no bias/activation
+        y1 = acc
+    else:
+        y1 = acc + b1_ref[:]
+        y1 = y1 * jax.nn.sigmoid(y1)
 
     # ---- branch 2: maxpool(3,2,1) over avg (-inf padding) + 1x1 conv ----
     neg = jnp.asarray(-jnp.inf, s_even.dtype)
@@ -191,17 +194,23 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
     m = jnp.maximum(jnp.maximum(mpair[0:to, 0], mpair[0:to, 1]),
                     mpair[1:to + 1, 0])               # (to, Wp, 128)
     y2 = jnp.dot(m.reshape(to * wp, HALF).astype(wk_ref.dtype), w2_ref[:],
-                 preferred_element_type=f32) + b2_ref[:]
-    y2 = y2 * jax.nn.sigmoid(y2)
+                 preferred_element_type=f32)
+    if not raw:
+        y2 = y2 + b2_ref[:]
+        y2 = y2 * jax.nn.sigmoid(y2)
 
     out = jnp.concatenate([y1, y2], axis=-1).reshape(1, to, wp, C)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
-def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False):
+def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False,
+                      raw: bool = False):
     """xp: (B, H, Wp, 512) width-packed p=2 over 256ch -> (B, H/2, Wp, 256).
 
     The producer view of the unpacked tensor is (B, H, 2*Wp, 256).
+    raw=True (train forward, ops/adown_train.py): emit the PRE-BN conv
+    outputs of both branches (no bias, no SiLU); weights then carry the
+    in-trace packed RAW kernels (avgpool /4 still folded in).
     """
     B, h, wp_true, c2 = xp.shape
     assert c2 == 2 * C
@@ -216,7 +225,8 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False):
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - wp_true), (0, 0)))
 
     dtype = xp.dtype
-    kernel = partial(_kernel, to=to, wp=wp, h=h, wp_true=wp_true)
+    kernel = partial(_kernel, to=to, wp=wp, h=h, wp_true=wp_true,
+                     raw=raw)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, h_out, wp, C), dtype),
