@@ -317,12 +317,18 @@ def adown_bwd_from_packed(xp: jax.Array, g: jax.Array, w1q: jax.Array,
     f32) — dWq are grads wrt the SCALED weights (caller applies the /4
     chain factor).
     """
+    import os
+
     B, h, wp_true, c2 = xp.shape
     assert c2 == 2 * C
     h_out = h // 2
     # to = 1 would make the halo'd middle-block DMA read past the array;
-    # callers gate on h_out % 2 == 0 (ops/adown_train.py).
-    to = next(t for t in (8, 4, 2) if h_out % t == 0)
+    # callers gate on h_out % 2 == 0 (ops/adown_train.py). The default
+    # row-block of 8 puts peak VMEM around ~11 MB at down1 shapes;
+    # YOLO_TPU_ADOWN_BWD_TO=4 (trace-time read) halves it.
+    env_to = os.environ.get("YOLO_TPU_ADOWN_BWD_TO")
+    cands = (int(env_to),) if env_to else (8, 4, 2)
+    to = next(t for t in cands if h_out % t == 0 and t >= 2)
     wp = (wp_true + 7) // 8 * 8
     if wp != wp_true:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - wp_true), (0, 0)))
