@@ -122,3 +122,36 @@ def test_apply_adown_train_block_parity_bf16(H, W):
                 np.asarray(ns_got[branch][key]),
                 np.asarray(ns_ref[branch][key]), atol=1e-3,
                 err_msg=f"{branch}.{key}")
+
+
+def test_adown_train_wide_channels_512():
+    """Channel-generic kernels: a 512-channel ADown (down2 geometry) —
+    forward and grads vs the direct graph."""
+    Cw, half = 512, 256
+    k = jax.random.split(jax.random.key(7), 4)
+    xp = _rand(k[0], (1, 16, 8, 2 * Cw))
+    w1 = _rand(k[1], (3, 3, half, half), scale=0.05)
+    w2 = _rand(k[2], (1, 1, half, half), scale=0.05)
+    r = _rand(k[3], (1, 8, 8, Cw))
+
+    def direct(xp, w1, w2):
+        x = xp.reshape(1, 16, 16, Cw)
+        s = avg_pool2d(x, 2, 1, 0)
+        y1 = conv2d(s[..., :half], w1, stride=2, padding=1)
+        m = max_pool2d(s[..., half:], 3, 2, 1)
+        y2 = conv2d(m, w2, stride=1, padding=0)
+        return jnp.concatenate([y1, y2], axis=-1)
+
+    got = _adown_conv(xp, w1, w2, True)
+    ref = direct(xp, w1, w2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+    gk = jax.grad(lambda *a: (_adown_conv(*a, True) * r).sum(),
+                  argnums=(0, 1, 2))(xp, w1, w2)
+    gd = jax.grad(lambda *a: (direct(*a) * r).sum(),
+                  argnums=(0, 1, 2))(xp, w1, w2)
+    for name, a, b in zip(("dx", "dw1", "dw2"), gk, gd):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        denom = np.abs(b).max() or 1.0
+        np.testing.assert_allclose(a / denom, b / denom, atol=2e-5,
+                                   err_msg=name)

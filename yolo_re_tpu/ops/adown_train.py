@@ -26,11 +26,12 @@ path already fuses all of it in VMEM (ops/pallas/adown_kernel.py,
 
 bf16-only (the f32 path keeps the exact two-pass reference numerics),
 TPU-only in the product path (interpret mode drives the kernels on CPU in
-tests). Gated to the C=256 ADown geometry (down1 / pan_down1 in gelan-c
-and yolov9-c; the other ADowns have 256-channel halves and no padding
-problem... their pooling still pays, but the kernel is C-specialized).
-Kill switch: YOLO_TPU_ADOWN_TRAIN=0. Honors the same GSPMD mesh guard as
-the stem path (pallas_call has no SPMD partitioning rule).
+tests). The kernels are channel-generic (any C with whole-tile halves,
+C % 256 == 0): C=256 sites (down1 / aux_down1 / pan_down1) are on by
+default, wider ones opt-in via YOLO_TPU_ADOWN_TRAIN_WIDE=1 — see
+adown_train_supported. Kill switch: YOLO_TPU_ADOWN_TRAIN=0. Honors the
+same GSPMD mesh guard as the stem path (pallas_call has no SPMD
+partitioning rule).
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from yolo_re_tpu.ops.packed_elan_train import bn_act_train
-from yolo_re_tpu.ops.pallas.adown_kernel import C, HALF, adown_from_packed
+from yolo_re_tpu.ops.pallas.adown_kernel import C, adown_from_packed
 from yolo_re_tpu.ops.pallas.adown_train_kernel import adown_bwd_from_packed
 
 __all__ = ["apply_adown_train", "adown_train_supported",
@@ -61,33 +62,46 @@ def adown_train_enabled() -> bool:
 
 
 def adown_train_supported(cfg, x) -> bool:
-    """Shape gate: the kernel pair is specialized to the C=256 ADown
-    (halves 128 = one full lane tile) and needs H % 4 == 0 (row blocks of
-    >= 2 output rows), W % 2 == 0 (packed columns)."""
-    return (cfg.in_channels == C and cfg.out_channels == C
-            and x.ndim == 4 and x.shape[-1] == C
-            and x.shape[1] % 4 == 0 and x.shape[2] % 2 == 0)
+    """Shape gate: channel halves must be whole 128-lane tiles (C % 256),
+    in == out (every ADown in the configs), H % 4 == 0 (row blocks of
+    >= 2 output rows), W % 2 == 0 (packed columns). C=256 (down1 /
+    aux_down1 / pan_down1) is on by default — its producer is the packed
+    stage1 whose byte-order view cancels; wider ADowns (down2/3,
+    pan_down2: plain-NHWC producers, so the packed view is a real
+    relayout) are opt-in via YOLO_TPU_ADOWN_TRAIN_WIDE=1 until the e2e
+    A/B says otherwise."""
+    import os
+
+    if not (cfg.in_channels == cfg.out_channels
+            and cfg.in_channels % 256 == 0
+            and x.ndim == 4 and x.shape[-1] == cfg.in_channels
+            and x.shape[1] % 4 == 0 and x.shape[2] % 2 == 0):
+        return False
+    if cfg.in_channels != C:
+        return os.environ.get("YOLO_TPU_ADOWN_TRAIN_WIDE") == "1"
+    return True
 
 
 def _pack_wk(w1q: jax.Array) -> jax.Array:
-    """(3, 3, 128, 128) scaled raw kernel -> the forward kernel's
-    (3, 2, 256, 128) width-window layout (adown_kernel.
+    """(3, 3, half, half) scaled raw kernel -> the forward kernel's
+    (3, 2, 2*half, half) width-window layout (adown_kernel.
     build_adown_kernel_weights, traced; linear in w1q)."""
-    wk = jnp.zeros((3, 2, 2 * HALF, HALF), w1q.dtype)
-    wk = wk.at[:, 0, HALF:].set(w1q[:, 0])
-    wk = wk.at[:, 1, :HALF].set(w1q[:, 1])
-    wk = wk.at[:, 1, HALF:].set(w1q[:, 2])
+    half = w1q.shape[-1]
+    wk = jnp.zeros((3, 2, 2 * half, half), w1q.dtype)
+    wk = wk.at[:, 0, half:].set(w1q[:, 0])
+    wk = wk.at[:, 1, :half].set(w1q[:, 1])
+    wk = wk.at[:, 1, half:].set(w1q[:, 2])
     return wk
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _adown_conv(xp, w1, w2, interpret):
-    """Pre-BN packed ADown: xp (B, H, Wp, 512) -> (B, H/2, Wp, 256)
-    bf16, lanes [branch1 | branch2]. w1 (3, 3, 128, 128) raw HWIO,
-    w2 (1, 1, 128, 128) raw."""
+    """Pre-BN packed ADown: xp (B, H, Wp, 2C) -> (B, H/2, Wp, C),
+    lanes [branch1 | branch2]. w1 (3, 3, C/2, C/2) raw HWIO,
+    w2 (1, 1, C/2, C/2) raw."""
     w1q = w1 * 0.25
     w2q = w2[0, 0] * 0.25
-    z = jnp.zeros((1, HALF), jnp.float32)
+    z = jnp.zeros((1, w1.shape[-1]), jnp.float32)
     return adown_from_packed(
         xp, {"wk": _pack_wk(w1q), "b1": z, "w2": w2q, "b2": z},
         raw=True, interpret=interpret)
@@ -103,7 +117,8 @@ def _adown_conv_bwd(interpret, res, g):
     w2q = (w2[0, 0] * 0.25).astype(xp.dtype)
     dx, dwq1, dwq2 = adown_bwd_from_packed(xp, g, w1q, w2q,
                                            interpret=interpret)
-    dw1 = (dwq1.reshape(3, 3, HALF, HALF) * 0.25).astype(w1.dtype)
+    half = w1.shape[-1]
+    dw1 = (dwq1.reshape(3, 3, half, half) * 0.25).astype(w1.dtype)
     dw2 = (dwq2[None, None] * 0.25).astype(w2.dtype)
     return dx, dw1, dw2
 
@@ -112,10 +127,10 @@ _adown_conv.defvjp(_adown_conv_fwd, _adown_conv_bwd)
 
 
 def apply_adown_train(cfg, params, stats, x, *, interpret=False):
-    """Train-mode ADown(256, 256): packed Pallas conv pair (custom VJP) ->
+    """Train-mode ADown(C, C): packed Pallas conv pair (custom VJP) ->
     one-pass train BN over the concatenated branch params -> SiLU.
 
-    x (B, H, W, 256) bf16 NHWC (a free byte-order view re-packs it; when
+    x (B, H, W, C) bf16 NHWC (a free byte-order view re-packs it; when
     the producer is the packed train-mode stage1 the two reshapes cancel
     and no relayout happens). Returns (out (B, H/2, W/2, 256) bf16,
     new_stats) with new_stats exactly mirroring ADown.apply's pytree.
@@ -136,9 +151,10 @@ def apply_adown_train(cfg, params, stats, x, *, interpret=False):
         "var": jnp.concatenate([stats["conv_stride"]["var"],
                                 stats["conv_pool"]["var"]]),
     }
-    out, ns = bn_act_train(y, p_cat, s_cat, np.arange(C), act=True)
+    half = Cin // 2
+    out, ns = bn_act_train(y, p_cat, s_cat, np.arange(Cin), act=True)
     new_stats = {
-        "conv_stride": {"mean": ns["mean"][:HALF], "var": ns["var"][:HALF]},
-        "conv_pool": {"mean": ns["mean"][HALF:], "var": ns["var"][HALF:]},
+        "conv_stride": {"mean": ns["mean"][:half], "var": ns["var"][:half]},
+        "conv_pool": {"mean": ns["mean"][half:], "var": ns["var"][half:]},
     }
     return out, new_stats

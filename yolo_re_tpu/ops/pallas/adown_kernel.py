@@ -74,7 +74,9 @@ def build_adown_kernel_weights(fused, dtype=jnp.bfloat16):
 
 
 def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
-            *, to: int, wp: int, h: int, wp_true: int, raw: bool = False):
+            *, to: int, wp: int, h: int, wp_true: int, raw: bool = False,
+            c: int = C):
+    half = c // 2
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -126,7 +128,7 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
     dma_op(step % 2, b, j, "wait")
     X = scratch[step % 2]                        # (rows, Wp, 2C)
 
-    q0, q1 = X[..., :C], X[..., C:]
+    q0, q1 = X[..., :c], X[..., c:]
     q0h = q0[:-1] + q0[1:]                       # (rows-1, Wp, C) 2x2 sums
     q1h = q1[:-1] + q1[1:]
     s_even = q0h + q1h                           # window sum at even pixels
@@ -153,27 +155,27 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
     # differently-offset slices hit a Mosaic "offset mismatch" limit at
     # widths not divisible by 16, and the split matmuls cost the same
     # MXU work anyway.
-    zcol = jnp.zeros_like(s_even[:, :1, :HALF])
-    ze = jnp.where(row_ok, s_even[..., :HALF], 0)
-    zo = jnp.where(row_ok & odd_ok, s_odd_body[..., :HALF], 0)
+    zcol = jnp.zeros_like(s_even[:, :1, :half])
+    ze = jnp.where(row_ok, s_even[..., :half], 0)
+    zo = jnp.where(row_ok & odd_ok, s_odd_body[..., :half], 0)
     z_prev = jnp.concatenate([zcol, zo], axis=1)        # odd col o-1
     z_cur = jnp.concatenate([zo, zcol], axis=1)         # odd col o
 
     def pairs(a):
         # avg row 2i+kh for output row i via a (pairs, 2) major reshape
         a = jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
-        return a.reshape(to + 1, 2, wp, HALF)
+        return a.reshape(to + 1, 2, wp, half)
 
     pe, pp, pc = pairs(ze), pairs(z_prev), pairs(z_cur)
-    acc = jnp.zeros((to * wp, HALF), f32)
+    acc = jnp.zeros((to * wp, half), f32)
     for kh, sel in enumerate((lambda q: q[0:to, 0], lambda q: q[0:to, 1],
                               lambda q: q[1:to + 1, 0])):
-        acc = acc + jnp.dot(sel(pp).reshape(to * wp, HALF),
-                            wk_ref[kh, 0, HALF:], preferred_element_type=f32)
-        acc = acc + jnp.dot(sel(pe).reshape(to * wp, HALF),
-                            wk_ref[kh, 1, :HALF], preferred_element_type=f32)
-        acc = acc + jnp.dot(sel(pc).reshape(to * wp, HALF),
-                            wk_ref[kh, 1, HALF:], preferred_element_type=f32)
+        acc = acc + jnp.dot(sel(pp).reshape(to * wp, half),
+                            wk_ref[kh, 0, half:], preferred_element_type=f32)
+        acc = acc + jnp.dot(sel(pe).reshape(to * wp, half),
+                            wk_ref[kh, 1, :half], preferred_element_type=f32)
+        acc = acc + jnp.dot(sel(pc).reshape(to * wp, half),
+                            wk_ref[kh, 1, half:], preferred_element_type=f32)
     if raw:          # train mode: pre-BN conv output, no bias/activation
         y1 = acc
     else:
@@ -182,24 +184,24 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
 
     # ---- branch 2: maxpool(3,2,1) over avg (-inf padding) + 1x1 conv ----
     neg = jnp.asarray(-jnp.inf, s_even.dtype)
-    negcol = jnp.full_like(s_even[:, :1, HALF:], neg)
-    be = s_even[..., HALF:]
-    bo_body = jnp.where(row_ok & odd_ok, s_odd_body[..., HALF:], neg)
+    negcol = jnp.full_like(s_even[:, :1, half:], neg)
+    be = s_even[..., half:]
+    bo_body = jnp.where(row_ok & odd_ok, s_odd_body[..., half:], neg)
     bo = jnp.concatenate([bo_body, negcol], axis=1)
     bo_prev = jnp.concatenate([negcol, bo[:, :-1]], axis=1)
     m_w = jnp.maximum(jnp.maximum(bo_prev, be), bo)   # (rows-1, Wp, 128)
     m_w = jnp.where(row_ok, m_w, neg)
     m_w = jnp.concatenate([m_w, jnp.full_like(m_w[:1], neg)], axis=0)
-    mpair = m_w.reshape(to + 1, 2, wp, HALF)
+    mpair = m_w.reshape(to + 1, 2, wp, half)
     m = jnp.maximum(jnp.maximum(mpair[0:to, 0], mpair[0:to, 1]),
                     mpair[1:to + 1, 0])               # (to, Wp, 128)
-    y2 = jnp.dot(m.reshape(to * wp, HALF).astype(wk_ref.dtype), w2_ref[:],
+    y2 = jnp.dot(m.reshape(to * wp, half).astype(wk_ref.dtype), w2_ref[:],
                  preferred_element_type=f32)
     if not raw:
         y2 = y2 + b2_ref[:]
         y2 = y2 * jax.nn.sigmoid(y2)
 
-    out = jnp.concatenate([y1, y2], axis=-1).reshape(1, to, wp, C)
+    out = jnp.concatenate([y1, y2], axis=-1).reshape(1, to, wp, c)
     out_ref[:] = out.astype(out_ref.dtype)
 
 
@@ -213,7 +215,8 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False,
     in-trace packed RAW kernels (avgpool /4 still folded in).
     """
     B, h, wp_true, c2 = xp.shape
-    assert c2 == 2 * C
+    c = c2 // 2
+    assert c2 == 2 * c and c % 256 == 0, c2   # branch halves = full tiles
     h_out = h // 2
     # TO=8 keeps peak VMEM (double-buffered scratch + the avg/branch
     # intermediates) around 9 MB — TO=16 exceeds the ~16 MB v5e VMEM.
@@ -226,10 +229,10 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False,
 
     dtype = xp.dtype
     kernel = partial(_kernel, to=to, wp=wp, h=h, wp_true=wp_true,
-                     raw=raw)
+                     raw=raw, c=c)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, h_out, wp, C), dtype),
+        out_shape=jax.ShapeDtypeStruct((B, h_out, wp, c), dtype),
         grid=(B, h_out // to),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),             # x (manual DMA)
@@ -238,11 +241,11 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False,
             pl.BlockSpec(memory_space=pltpu.VMEM),         # w2
             pl.BlockSpec(memory_space=pltpu.VMEM),         # b2
         ],
-        out_specs=pl.BlockSpec((1, to, wp, C),
+        out_specs=pl.BlockSpec((1, to, wp, c),
                                lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * to + 2, wp, 2 * C), dtype),
+            pltpu.VMEM((2, 2 * to + 2, wp, 2 * c), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

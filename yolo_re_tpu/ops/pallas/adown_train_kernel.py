@@ -53,7 +53,9 @@ HALF = C // 2
 def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
                 dx_ref, dw1_ref, dw2_ref,
                 xs, gs, sem,
-                *, to: int, wp: int, h: int, wp_true: int):
+                *, to: int, wp: int, h: int, wp_true: int,
+                c: int = C):
+    half = c // 2
     b = pl.program_id(0)
     j = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -136,11 +138,11 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
     i_g = (jax.lax.broadcasted_iota(jnp.int32, (ot, 1, 1), 0) + to * j - 1)
     g_ok = (i_g >= 0) & (i_g <= h_out - 1)
     G = jnp.where(g_ok, G, 0)
-    g1 = G[..., :HALF]
-    g2 = G[..., HALF:]
+    g1 = G[..., :half]
+    g2 = G[..., half:]
 
     # ---- recompute window sums (mirror of the forward kernel) ----------
-    q0, q1 = X[..., :C], X[..., C:]
+    q0, q1 = X[..., :c], X[..., c:]
     q0h = q0[:-1] + q0[1:]            # (rows_x - 1, wp, C)
     q1h = q1[:-1] + q1[1:]
     s_even = q0h + q1h                # window sum at even pixel 2c
@@ -153,17 +155,17 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
               < wp_true - 1)
 
     # branch-1 taps (zero padding)
-    zcol = jnp.zeros_like(s_even[:, :1, :HALF])
-    ze = jnp.where(row_ok, s_even[..., :HALF], 0)
-    zo = jnp.where(row_ok & odd_ok, s_odd_body[..., :HALF], 0)
+    zcol = jnp.zeros_like(s_even[:, :1, :half])
+    ze = jnp.where(row_ok, s_even[..., :half], 0)
+    zo = jnp.where(row_ok & odd_ok, s_odd_body[..., :half], 0)
     z_prev = jnp.concatenate([zcol, zo], axis=1)       # odd col o-1 (kw=0)
     z_cur = jnp.concatenate([zo, zcol], axis=1)        # odd col o   (kw=2)
 
     # branch-2 taps (-inf padding)
     neg = jnp.asarray(-jnp.inf, s_even.dtype)
-    negcol = jnp.full_like(s_even[:, :1, HALF:], neg)
-    be = jnp.where(row_ok, s_even[..., HALF:], neg)
-    bo_body = jnp.where(row_ok & odd_ok, s_odd_body[..., HALF:], neg)
+    negcol = jnp.full_like(s_even[:, :1, half:], neg)
+    be = jnp.where(row_ok, s_even[..., half:], neg)
+    bo_body = jnp.where(row_ok & odd_ok, s_odd_body[..., half:], neg)
     b_prev = jnp.concatenate([negcol, bo_body], axis=1)
     b_cur = jnp.concatenate([bo_body, negcol], axis=1)
 
@@ -171,7 +173,7 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
         # avg row 2*i_local + kh selected as (pairs, 2) on the major dim;
         # a has rows_x - 1 = 2*to + 5 rows -> pad to 2*(to + 3)
         a = jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
-        return a.reshape(to + 3, 2, wp, HALF)
+        return a.reshape(to + 3, 2, wp, half)
 
     def sel(p, kh, n, off=0):
         # rows i_local in [off, off + n): avg row 2*i_local + kh
@@ -192,9 +194,9 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
             m = t if m is None else jnp.maximum(m, t)
 
     dm = jax.lax.dot_general(
-        g2.reshape(ot * wp, HALF), w2q_ref[:],
+        g2.reshape(ot * wp, half), w2q_ref[:],
         (((1,), (1,)), ((), ())),
-        preferred_element_type=f32).reshape(ot, wp, HALF)
+        preferred_element_type=f32).reshape(ot, wp, half)
 
     # ---- weight grads over the block's OWN rows (i_local 1..to) --------
     @pl.when(step == 0)
@@ -202,18 +204,18 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
         dw1_ref[:] = jnp.zeros_like(dw1_ref)
         dw2_ref[:] = jnp.zeros_like(dw2_ref)
 
-    g1f = g1[1:to + 1].reshape(to * wp, HALF)
+    g1f = g1[1:to + 1].reshape(to * wp, half)
     dw1_taps = []
     for kh in range(3):
         for kw in range(3):
-            t = sel(pz[kw], kh, to, off=1).reshape(to * wp, HALF)
+            t = sel(pz[kw], kh, to, off=1).reshape(to * wp, half)
             dw1_taps.append(jax.lax.dot_general(
                 t, g1f, (((0,), (0,)), ((), ())),
                 preferred_element_type=f32))
     dw1_ref[:] += jnp.stack(dw1_taps)
-    m_own = m[1:to + 1].reshape(to * wp, HALF)
+    m_own = m[1:to + 1].reshape(to * wp, half)
     dw2_ref[:] += jax.lax.dot_general(
-        m_own.astype(g1f.dtype), g2[1:to + 1].reshape(to * wp, HALF),
+        m_own.astype(g1f.dtype), g2[1:to + 1].reshape(to * wp, half),
         (((0,), (0,)), ((), ())), preferred_element_type=f32)
 
     # ---- dS accumulation: (row parity x col parity x branch) planes ----
@@ -252,9 +254,9 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
         for kw in range(3):
             # branch 1: g1 @ w1q[kh, kw]^T (contract output channels)
             c1 = jax.lax.dot_general(
-                g1.reshape(ot * wp, HALF), w1q_ref[kh, kw],
+                g1.reshape(ot * wp, half), w1q_ref[kh, kw],
                 (((1,), (1,)), ((), ())),
-                preferred_element_type=f32).reshape(ot, wp, HALF)
+                preferred_element_type=f32).reshape(ot, wp, half)
             # branch 2: first-max priority mask routes dm
             t2 = sel(pb[kw], kh, ot)
             elig = t2 == m
@@ -303,7 +305,7 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
         out_parts.append(jnp.concatenate(
             [q0_b1, q0_b2, q1_b1, q1_b2], axis=-1))   # (to, wp, 2C)
 
-    dx = jnp.stack(out_parts, axis=1).reshape(1, 2 * to, wp, 2 * C)
+    dx = jnp.stack(out_parts, axis=1).reshape(1, 2 * to, wp, 2 * c)
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
@@ -320,7 +322,9 @@ def adown_bwd_from_packed(xp: jax.Array, g: jax.Array, w1q: jax.Array,
     import os
 
     B, h, wp_true, c2 = xp.shape
-    assert c2 == 2 * C
+    c = c2 // 2
+    half = c // 2
+    assert c2 == 2 * c and c % 256 == 0, c2   # branch halves = full tiles
     h_out = h // 2
     # to = 1 would make the halo'd middle-block DMA read past the array;
     # callers gate on h_out % 2 == 0 (ops/adown_train.py). The default
@@ -335,13 +339,14 @@ def adown_bwd_from_packed(xp: jax.Array, g: jax.Array, w1q: jax.Array,
         g = jnp.pad(g, ((0, 0), (0, 0), (0, wp - wp_true), (0, 0)))
 
     dtype = xp.dtype
-    kernel = partial(_bwd_kernel, to=to, wp=wp, h=h, wp_true=wp_true)
+    kernel = partial(_bwd_kernel, to=to, wp=wp, h=h, wp_true=wp_true,
+                     c=c)
     dx, dw1, dw2 = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((B, h, wp, 2 * C), dtype),
-            jax.ShapeDtypeStruct((9, HALF, HALF), jnp.float32),
-            jax.ShapeDtypeStruct((HALF, HALF), jnp.float32),
+            jax.ShapeDtypeStruct((B, h, wp, 2 * c), dtype),
+            jax.ShapeDtypeStruct((9, half, half), jnp.float32),
+            jax.ShapeDtypeStruct((half, half), jnp.float32),
         ),
         grid=(B, h_out // to),
         in_specs=[
@@ -351,16 +356,16 @@ def adown_bwd_from_packed(xp: jax.Array, g: jax.Array, w1q: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),          # w2q
         ],
         out_specs=(
-            pl.BlockSpec((1, 2 * to, wp, 2 * C), lambda b, j: (b, j, 0, 0),
+            pl.BlockSpec((1, 2 * to, wp, 2 * c), lambda b, j: (b, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, HALF, HALF), lambda b, j: (0, 0, 0),
+            pl.BlockSpec((9, half, half), lambda b, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((HALF, HALF), lambda b, j: (0, 0),
+            pl.BlockSpec((half, half), lambda b, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * to + 6, wp, 2 * C), dtype),
-            pltpu.VMEM((2, to + 2, wp, C), g.dtype),
+            pltpu.VMEM((2, 2 * to + 6, wp, 2 * c), dtype),
+            pltpu.VMEM((2, to + 2, wp, c), g.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
