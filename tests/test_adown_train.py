@@ -33,7 +33,8 @@ def _rand(key, shape, dtype=jnp.float32, scale=1.0):
     return (jax.random.normal(key, shape) * scale).astype(dtype)
 
 
-@pytest.mark.parametrize("H,W", [(16, 16), (32, 16), (48, 20)])
+@pytest.mark.parametrize("H,W", [(16, 16), (32, 16), (48, 20),
+                                 (24, 16), (20, 16)])
 def test_adown_train_forward_matches_direct(H, W):
     k = jax.random.split(jax.random.key(0), 3)
     xp = _rand(k[0], (2, H, W // 2, 2 * C))
@@ -46,7 +47,8 @@ def test_adown_train_forward_matches_direct(H, W):
                                atol=1e-4, rtol=1e-4)
 
 
-@pytest.mark.parametrize("H,W", [(16, 16), (32, 16), (48, 20)])
+@pytest.mark.parametrize("H,W", [(16, 16), (32, 16), (48, 20),
+                                 (24, 16), (20, 16)])  # to = 8 / 4 / 2
 def test_adown_train_grads_match_direct(H, W):
     k = jax.random.split(jax.random.key(1), 4)
     xp = _rand(k[0], (2, H, W // 2, 2 * C))
