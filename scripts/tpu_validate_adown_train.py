@@ -79,7 +79,10 @@ def stage_kernel():
 
 
 def stage_bench():
-    params, stats, x = _setup(32, 160, 160)
+    # down1 is (32, 160, 160); SIZE=80 times the pan_down1 site, whose
+    # plain-NHWC producer makes the kernel's packed view a real relayout.
+    size = int(os.environ.get("SIZE", "160"))
+    params, stats, x = _setup(32, size, size)
 
     def fwd_direct(x, p):
         return _direct(p, stats, x)[0]
