@@ -157,3 +157,26 @@ def test_adown_train_wide_channels_512():
         denom = np.abs(b).max() or 1.0
         np.testing.assert_allclose(a / denom, b / denom, atol=2e-5,
                                    err_msg=name)
+
+
+def test_adown_train_under_remat():
+    """TrainConfig.remat wraps block applies in jax.checkpoint; the
+    custom-VJP kernel pair must trace and differentiate under it (the
+    forward recomputes in the backward) with unchanged grads."""
+    cfg = ADownConfig(C, C)
+    params, stats = ADown.init(jax.random.key(2), cfg)
+    x = _rand(jax.random.key(3), (1, 16, 16, C), jnp.bfloat16)
+
+    def obj(fn):
+        def run(p, x):
+            y, _ = fn(p, stats, x)
+            return (y.astype(jnp.float32) ** 2).sum()
+        return run
+
+    plain = lambda p, s, x: apply_adown_train(cfg, p, s, x, interpret=True)
+    remat = jax.checkpoint(plain)
+    gp = jax.grad(obj(plain))(params, x)
+    gr = jax.grad(obj(remat))(params, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
