@@ -192,6 +192,11 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
         for kw in range(3):
             t = sel(pb[kw], kh, ot)
             m = t if m is None else jnp.maximum(m, t)
+    # Real-TPU Mosaic rejects cmpf on bf16 vectors ("Target does not
+    # support this comparison"); the f32 widening is exact for bf16, so
+    # the first-max tie routing below is unchanged. bf16 maximum is fine
+    # (the inference kernel's maxpool uses it on-chip).
+    m32 = m.astype(f32)
 
     dm = jax.lax.dot_general(
         g2.reshape(ot * wp, half), w2q_ref[:],
@@ -259,7 +264,7 @@ def _bwd_kernel(x_hbm, g_hbm, w1q_ref, w2q_ref,
                 preferred_element_type=f32).reshape(ot, wp, half)
             # branch 2: first-max priority mask routes dm
             t2 = sel(pb[kw], kh, ot)
-            elig = t2 == m
+            elig = t2.astype(f32) == m32
             if taken is None:
                 use, taken = elig, elig
             else:
