@@ -497,8 +497,50 @@ def adown_train():
           f"{t_fb / t_fb2:.2f}x")
 
 
+def wgrad_micro():
+    """Decompose fwd / dx / dW per conv shape for the layers dominating
+    the post-ADown backward (per-layer table: fpn2 bwd/fwd 3.3x, stage2
+    3.1x, fpn1 4.5x vs the ~2.0 theoretical). Each VJP piece is timed in
+    isolation: the vjp runs inside the traced fn with dy as the chained
+    arg, and returning only one piece lets XLA DCE the other (and the
+    unused primal). TF/s are per conv pass (fwd==dx==dW FLOPs)."""
+    from yolo_re_tpu.ops.conv import conv2d
+
+    rng = np.random.default_rng(0)
+    shapes = [
+        ("1x1 128->64 @80", 1, 128, 64, 80),
+        ("3x3 64->64 @80", 3, 64, 64, 80),
+        ("1x1 128->128 @80", 1, 128, 128, 80),
+        ("3x3 128->128 @80", 3, 128, 128, 80),
+        ("1x1 256->128 @40", 1, 256, 128, 40),
+        ("3x3 128->128 @40", 3, 128, 128, 40),
+    ]
+    for name, k, cin, cout, hw in shapes:
+        x = jnp.asarray(rng.standard_normal((B, hw, hw, cin)), DT)
+        w = jnp.asarray(rng.standard_normal((k, k, cin, cout)) * .05, DT)
+        dy = jnp.asarray(rng.standard_normal((B, hw, hw, cout)), DT)
+
+        def f(x, w, k=k):
+            return conv2d(x, w, stride=1, padding=k // 2)
+
+        def dx_only(dy, x, w):
+            return jax.vjp(f, x, w)[1](dy)[0]
+
+        def dw_only(dy, x, w):
+            return jax.vjp(f, x, w)[1](dy)[1]
+
+        t_f = device_timer(f, x, w) * 1e3
+        t_dx = device_timer(dx_only, dy, x, w) * 1e3
+        t_dw = device_timer(dw_only, dy, x, w) * 1e3
+        fl = 2 * B * hw * hw * k * k * cin * cout
+        print(f"{name:17s} fwd {t_f:5.2f} ms ({fl / t_f / 1e9:5.1f} TF/s)"
+              f" | dx {t_dx:5.2f} ({fl / t_dx / 1e9:5.1f})"
+              f" | dW {t_dw:5.2f} ({fl / t_dw / 1e9:5.1f})", flush=True)
+
+
 STAGES["stem_s2d"] = stem_s2d
 STAGES["conv2"] = conv_micro2
+STAGES["wgrad"] = wgrad_micro
 STAGES["csp"] = csp_stage2
 STAGES["stem_pair"] = stem_pair
 STAGES["adown"] = adown_train

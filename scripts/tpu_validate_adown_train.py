@@ -52,9 +52,11 @@ def stage_kernel():
     ref, ns_r = jax.jit(lambda p, s, x: _direct(p, s, x))(params, stats, x)
     d = float(jnp.max(jnp.abs(got.astype(jnp.float32)
                               - ref.astype(jnp.float32))))
+    scale = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
     ds = max(float(jnp.max(jnp.abs(ns_g[b][k] - ns_r[b][k])))
              for b in ("conv_stride", "conv_pool") for k in ("mean", "var"))
-    print(f"fwd parity: out {d:.2e} stats {ds:.2e}", flush=True)
+    print(f"fwd parity: out {d:.2e} (rel {d / scale:.2e}, ref max "
+          f"{scale:.1f}) stats {ds:.2e}", flush=True)
 
     def obj(fn):
         def run(p, x):
@@ -68,9 +70,12 @@ def stage_kernel():
     jax.block_until_ready(gk)
     print(f"bwd kernel compiled+ran in {time.time()-t0:.1f}s", flush=True)
     gd = jax.jit(jax.grad(obj(_direct), argnums=(0, 1)))(params, x)
-    for (ka, a), (kb, b) in zip(
-            sorted(jax.tree_util.tree_leaves_with_path(gk)),
-            sorted(jax.tree_util.tree_leaves_with_path(gd))):
+
+    def by_key(tree):
+        return sorted(jax.tree_util.tree_leaves_with_path(tree),
+                      key=lambda kv: jax.tree_util.keystr(kv[0]))
+
+    for (ka, a), (kb, b) in zip(by_key(gk), by_key(gd)):
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
         denom = np.abs(b).max() or 1.0
