@@ -517,12 +517,11 @@ class ADown:
                 apply_adown_train,
             )
             if adown_train_supported(cfg, x) and adown_train_enabled():
-                # Train-mode Pallas ADown pair (ops/adown_train.py): the
-                # direct graph's pooling lowerings + the packed-stage1
-                # boundary relayout cost ~13.8 ms f+b at down1; the fused
-                # kernels do both branches' pooling and convs in VMEM
-                # with a full Pallas backward (dx + both weight grads).
-                # bf16-only; YOLO_TPU_ADOWN_TRAIN=0 kills it.
+                # Train-mode Pallas ADown pair (ops/adown_train.py):
+                # OPT-IN via YOLO_TPU_ADOWN_TRAIN=1 — isolated f+b only
+                # 1.02x and the full step measured 195.0 vs 208.4 img/s
+                # (-6.4%, 2x2 ABBA): the custom-VJP boundary blocks the
+                # fusions XLA builds around the direct pooling graph.
                 return apply_adown_train(cfg, params, stats, x)
         if (not train and "pallas" in params
                 and x.shape[-1] == 2 * cfg.in_channels):

@@ -27,11 +27,22 @@ path already fuses all of it in VMEM (ops/pallas/adown_kernel.py,
 bf16-only (the f32 path keeps the exact two-pass reference numerics),
 TPU-only in the product path (interpret mode drives the kernels on CPU in
 tests). The kernels are channel-generic (any C with whole-tile halves,
-C % 256 == 0): C=256 sites (down1 / aux_down1 / pan_down1) are on by
-default, wider ones opt-in via YOLO_TPU_ADOWN_TRAIN_WIDE=1 — see
-adown_train_supported. Kill switch: YOLO_TPU_ADOWN_TRAIN=0. Honors the
-same GSPMD mesh guard as the stem path (pallas_call has no SPMD
-partitioning rule).
+C % 256 == 0); wide (>256ch) sites additionally need
+YOLO_TPU_ADOWN_TRAIN_WIDE=1 — see adown_train_supported.
+
+**OPT-IN (YOLO_TPU_ADOWN_TRAIN=1), measured e2e NEGATIVE with the C=256
+sites on**: the isolated down1 f+b A/B is only 1.02x (direct 10.59 ms vs
+kernel 10.34, scripts/tpu_validate_adown_train.py STAGE=bench) and the
+full train step measures 195.0 +- 0.1 vs 208.4 +- 0.1 img/s — a -6.4%
+regression (2x2 ABBA, scripts/ab_bench.py --flip YOLO_TPU_ADOWN_TRAIN=0).
+Mechanism: the custom-VJP pair pins its boundaries — nothing upstream or
+downstream can fuse across the two pallas_calls, the backward kernel's
+window-sum recompute duplicates work XLA shares with neighbouring
+fusions, and the saved residual (xp) forces an extra HBM round trip the
+XLA graph avoids by fusing the pool backwards into adjacent consumers.
+Kept as a recorded experiment (interpret-mode parity + real-Mosaic
+compile stay tested); honors the same GSPMD mesh guard as the stem path
+(pallas_call has no SPMD partitioning rule).
 """
 
 from __future__ import annotations
@@ -51,14 +62,16 @@ __all__ = ["apply_adown_train", "adown_train_supported",
 
 
 def adown_train_enabled() -> bool:
-    """Trace-time kill switch + the shared GSPMD mesh guard."""
+    """Trace-time OPT-IN switch (default OFF — the kernel pair measured a
+    -6.4% e2e regression, see module docstring) + the shared GSPMD mesh
+    guard."""
     import os
 
     from yolo_re_tpu.ops import stem_train
 
     if stem_train._MESH_GUARD:
         return False
-    return os.environ.get("YOLO_TPU_ADOWN_TRAIN", "1") != "0"
+    return os.environ.get("YOLO_TPU_ADOWN_TRAIN") == "1"
 
 
 def adown_train_supported(cfg, x) -> bool:
