@@ -521,7 +521,9 @@ def wgrad_micro():
         dy = jnp.asarray(rng.standard_normal((B, hw, hw, cout)), DT)
 
         def f(x, w, k=k):
-            return conv2d(x, w, stride=1, padding=k // 2)
+            # cast the f32 accumulation to DT like the product epilogue
+            # (ops/conv.py bf16 path) so the bf16 dy cotangent typechecks
+            return conv2d(x, w, stride=1, padding=k // 2).astype(DT)
 
         def dx_only(dy, x, w):
             return jax.vjp(f, x, w)[1](dy)[0]
@@ -529,9 +531,12 @@ def wgrad_micro():
         def dw_only(dy, x, w):
             return jax.vjp(f, x, w)[1](dy)[1]
 
-        t_f = device_timer(f, x, w) * 1e3
-        t_dx = device_timer(dx_only, dy, x, w) * 1e3
-        t_dw = device_timer(dw_only, dy, x, w) * 1e3
+        # iters=200: these ops are sub-ms, and the default 10 iterations
+        # leave ~2.5 ms/iter of amortized tunnel round-trip in the number
+        # (every shape measured "2.5-3 ms" at iters=10 — a pure floor).
+        t_f = device_timer(f, x, w, iters=200) * 1e3
+        t_dx = device_timer(dx_only, dy, x, w, iters=200) * 1e3
+        t_dw = device_timer(dw_only, dy, x, w, iters=200) * 1e3
         fl = 2 * B * hw * hw * k * k * cin * cout
         print(f"{name:17s} fwd {t_f:5.2f} ms ({fl / t_f / 1e9:5.1f} TF/s)"
               f" | dx {t_dx:5.2f} ({fl / t_dx / 1e9:5.1f})"

@@ -55,6 +55,12 @@ def device_timer(fn, *args, iters: int = 10):
     fn must take and return a pytree whose first leaf is an array; the
     timer chains iterations through a data dependency. Returns seconds per
     iteration.
+
+    CAUTION: the value fetch pays one tunnel round trip (~25 ms here) per
+    loop call, i.e. a ~25ms/iters floor on the returned number. iters=10
+    is fine for ≥10 ms stage probes but reads every sub-ms op as
+    "~2.5 ms" — pass iters≳200 for micro-ops (docs/performance.md,
+    measurement methodology).
     """
     import jax
     import jax.numpy as jnp
