@@ -180,3 +180,16 @@ def test_adown_train_under_remat():
     for a, b in zip(jax.tree_util.tree_leaves(gp),
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_adown_train_is_opt_in(monkeypatch):
+    """The kernel pair measured -6.4% e2e (docs/performance.md "What
+    lost") and must stay OFF unless YOLO_TPU_ADOWN_TRAIN=1 opts in."""
+    from yolo_re_tpu.ops.adown_train import adown_train_enabled
+
+    monkeypatch.delenv("YOLO_TPU_ADOWN_TRAIN", raising=False)
+    assert not adown_train_enabled()
+    monkeypatch.setenv("YOLO_TPU_ADOWN_TRAIN", "1")
+    assert adown_train_enabled()
+    monkeypatch.setenv("YOLO_TPU_ADOWN_TRAIN", "0")
+    assert not adown_train_enabled()
