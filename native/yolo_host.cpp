@@ -184,12 +184,19 @@ void hsv_augment_u8(uint8_t* img, int h, int w, float h_mul, float s_mul,
 // --------------------------------------------------------------------------
 void blit_u8(uint8_t* canvas, int ch_, int cw, const uint8_t* src, int sh,
              int sw, int y1a, int x1a, int y2a, int x2a, int y1b, int x1b) {
-  const int rows = std::min(y2a, ch_) - std::max(y1a, 0);
-  const int cols = std::min(x2a, cw) - std::max(x1a, 0);
+  // Clamp BOTH rect origins (shifting the other side to keep alignment)
+  // and bound the extent by all four buffers' edges, so no argument
+  // combination can read or write out of bounds.
+  if (y1a < 0) { y1b -= y1a; y1a = 0; }
+  if (x1a < 0) { x1b -= x1a; x1a = 0; }
+  if (y1b < 0) { y1a -= y1b; y1b = 0; }
+  if (x1b < 0) { x1a -= x1b; x1b = 0; }
+  const int rows = std::min(std::min(y2a, ch_) - y1a, sh - y1b);
+  const int cols = std::min(std::min(x2a, cw) - x1a, sw - x1b);
   if (rows <= 0 || cols <= 0) return;
   for (int y = 0; y < rows; ++y) {
-    const uint8_t* s = src + ((y1b + y) * sw + x1b) * 3;
-    uint8_t* d = canvas + ((y1a + y) * cw + x1a) * 3;
+    const uint8_t* s = src + ((y1b + y) * static_cast<size_t>(sw) + x1b) * 3;
+    uint8_t* d = canvas + ((y1a + y) * static_cast<size_t>(cw) + x1a) * 3;
     std::memcpy(d, s, static_cast<size_t>(cols) * 3);
   }
 }

@@ -53,6 +53,9 @@ def main() -> None:
                     help="display each annotated image (needs a GUI)")
     ap.add_argument("--no-fuse", action="store_true",
                     help="skip BN/RepConv inference fusion")
+    ap.add_argument("--allow-extra", action="store_true",
+                    help="drop unrecognized keys when ingesting an "
+                         "upstream .pt (mirrors convert_weights.py)")
     args = ap.parse_args()
 
     import cv2
@@ -86,7 +89,8 @@ def main() -> None:
             name = Path(args.config).stem
             print(f"upstream yolov9 schema detected; applying the "
                   f"{name} layer map")
-            sd = upstream_to_reference_sd(sd, name)
+            sd = upstream_to_reference_sd(sd, name,
+                                          strict=not args.allow_extra)
         params, stats = convert_state_dict(model.plan, sd)
     else:
         raise SystemExit(f"Unsupported weights format: {args.weights}")

@@ -106,20 +106,12 @@ def _unpack_w(x, p):
 
 
 def _packed_kernel_3x3(w, p, cin, cout):
-    """Build the width-packed 3x3 kernel from the raw HWIO kernel inside
-    the trace: output phase q at packed column X reads input columns
-    p*X+q-1 .. p*X+q+1, i.e. phases (q-1)%p, q, (q+1)%p with column
-    offsets. Packed kernel: (3, 1+2/p rounded -> 3, p*cin, p*cout) with
-    zero blocks; linear in w, so autodiff recovers exact raw grads."""
-    kw = 3  # packed width taps: offsets -1, 0, +1 in packed columns
-    wp = jnp.zeros((3, kw, p * cin, p * cout), w.dtype)
-    for q in range(p):            # output phase
-        for t in range(3):        # raw column tap: -1, 0, +1
-            col = q + t - 1       # raw column offset from packed col start
-            pc, off = col % p, col // p   # input phase, packed-col offset
-            wp = wp.at[:, off + 1, pc * cin:(pc + 1) * cin,
-                       q * cout:(q + 1) * cout].add(w[:, t])
-    return wp
+    """Width-packed 3x3 kernel from the raw HWIO kernel, in-trace —
+    delegates to the PRODUCT packing (ops/packed_elan_train._pack_same_jnp)
+    so the probe always measures exactly what the train path runs."""
+    del cin, cout  # inferred from w by the product packer
+    from yolo_re_tpu.ops.packed_elan_train import _pack_same_jnp
+    return _pack_same_jnp(w, p)
 
 
 def conv_micro():

@@ -92,11 +92,15 @@ def main() -> None:
 
     x_j = jnp.asarray(images.transpose(0, 2, 3, 1))
     raw_j, _ = jmodel.apply(params, stats, x_j, train=True)
-    # train preds are lane-aligned (box, cls) pairs; reassemble the
-    # reference's concatenated layout host-side (bit-identical values)
-    raw_j = [np.concatenate([np.asarray(yb), np.asarray(yc)],
+    # train preds default to lane-aligned (box, cls) pairs; reassemble
+    # the reference's concatenated layout host-side (bit-identical
+    # values). Under YOLO_TPU_TRAIN_PAIRS=0 each level is already the
+    # concatenated map — keep the harness usable for that A/B too.
+    raw_j = [np.concatenate([np.asarray(lvl[0]), np.asarray(lvl[1])],
                             axis=-1).transpose(0, 3, 1, 2)
-             for yb, yc in raw_j]
+             if isinstance(lvl, (tuple, list))
+             else np.asarray(lvl).transpose(0, 3, 1, 2)
+             for lvl in raw_j]
 
     ok = True
     for i, (a, b) in enumerate(zip(raw_t, raw_j)):

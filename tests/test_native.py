@@ -50,6 +50,44 @@ def test_blit_matches_numpy():
     np.testing.assert_array_equal(c1, c2)
 
 
+def test_blit_hostile_args_cannot_escape_buffers():
+    """blit must clamp BOTH rect origins and bound the extent by the
+    source — negative origins or rects larger than src previously
+    walked memcpy past the buffers (heap corruption)."""
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+    for (y1a, x1a, y2a, x2a, y1b, x1b) in [
+            (-5, 0, 5, 8, 0, 0),      # negative dest row origin
+            (0, -3, 8, 5, 0, 0),      # negative dest col origin
+            (0, 0, 8, 8, -2, -2),     # negative src origin
+            (0, 0, 20, 20, 0, 0),     # rect bigger than src
+            (2, 2, 10, 10, 6, 6),     # src exhausted before dest rect
+    ]:
+        canvas = np.full((10, 10, 3), 114, np.uint8)
+        expect = canvas.copy()
+        # numpy oracle: intersect the shifted rects with both buffers
+        dy0, dx0, sy0, sx0 = y1a, x1a, y1b, x1b
+        if dy0 < 0:
+            sy0 -= dy0
+            dy0 = 0
+        if dx0 < 0:
+            sx0 -= dx0
+            dx0 = 0
+        if sy0 < 0:
+            dy0 -= sy0
+            sy0 = 0
+        if sx0 < 0:
+            dx0 -= sx0
+            sx0 = 0
+        rows = min(min(y2a, 10) - dy0, 8 - sy0)
+        cols = min(min(x2a, 10) - dx0, 8 - sx0)
+        if rows > 0 and cols > 0:
+            expect[dy0:dy0 + rows, dx0:dx0 + cols] = \
+                src[sy0:sy0 + rows, sx0:sx0 + cols]
+        native.blit(canvas, src, y1a, x1a, y2a, x2a, y1b, x1b)
+        np.testing.assert_array_equal(canvas, expect)
+
+
 def test_mosaic_native_dispatch_matches_numpy(synthetic_dataset, monkeypatch):
     """Mosaic's tile resize+composition dispatches through the native
     kernels under YOLO_TPU_NATIVE=1 and reproduces the numpy/cv2 canvas

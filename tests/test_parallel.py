@@ -308,7 +308,11 @@ print("MH_OK", pid)
                               stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                               text=True, env=env, cwd=repo)
              for p in (0, 1)]
-    outs = [p.communicate(timeout=900) for p in procs]
+    # 1800s: the two workers are the one sanctioned exception to the
+    # "never two JAX processes" rule (multi-host NEEDS concurrent
+    # processes) — on this 1-core host their cold compiles contend and
+    # can double each other's wall time, so budget for a cold cache.
+    outs = [p.communicate(timeout=1800) for p in procs]
     if any(p.returncode != 0 or "MH_OK" not in out
            for p, (out, _) in zip(procs, outs)):
         report = "\n".join(

@@ -119,8 +119,17 @@ class Conv:
                 and cfg.groups == 1 and cfg.dilation == 1
                 and cfg.padding in (None, 1) and cfg.activation == "silu"):
             from yolo_re_tpu.ops.stem_train import (
-                stem2_conv_from_packed_train)
-            return stem2_conv_from_packed_train(cfg, params, stats, x)
+                stem2_conv_from_packed_train,
+                stem_train_enabled,
+            )
+            # Only the train-mode stem1 kernel produces the row-paired
+            # 2*cin layout, and it only engages while stem_train_enabled()
+            # — gate symmetrically so YOLO_TPU_STEM_TRAIN=0 (and the mesh
+            # guard) kill the consumer too, and a miswired hand-built
+            # config whose channel count merely coincides fails loudly in
+            # the regular conv instead of being silently reinterpreted.
+            if stem_train_enabled():
+                return stem2_conv_from_packed_train(cfg, params, stats, x)
         if not train and "pallas_stem" in params:
             # Fused stem fast path (models/fuse.py post-pass): emit the
             # row-paired packed layout the Pallas kernel produces —

@@ -336,8 +336,10 @@ def adown_bwd_from_packed(xp: jax.Array, g: jax.Array, w1q: jax.Array,
     # row-block of 8 puts peak VMEM around ~11 MB at down1 shapes;
     # YOLO_TPU_ADOWN_BWD_TO=4 (trace-time read) halves it.
     env_to = os.environ.get("YOLO_TPU_ADOWN_BWD_TO")
-    cands = (int(env_to),) if env_to else (8, 4, 2)
-    to = next(t for t in cands if h_out % t == 0 and t >= 2)
+    # An env value that is < 2 or does not divide h_out falls back to the
+    # default chain instead of raising a bare StopIteration in tracing.
+    cands = (int(env_to), 8, 4, 2) if env_to else (8, 4, 2)
+    to = next(t for t in cands if t >= 2 and h_out % t == 0)
     wp = (wp_true + 7) // 8 * 8
     if wp != wp_true:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - wp_true), (0, 0)))

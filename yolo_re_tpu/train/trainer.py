@@ -153,6 +153,17 @@ class Trainer:
                 "either data.train_path or train_loader is required"
             train_loader = create_dataloader(data.train_path, data, "train",
                                              shard=self._shard)
+        elif self._shard is not None \
+                and getattr(train_loader, "shard", None) != self._shard:
+            # A user-supplied loader in a multi-host run must yield THIS
+            # process's slice; silently accepting an unsharded one would
+            # assemble a process_count-times batch of duplicated samples
+            # (make_array_from_process_local_data concatenates per-host).
+            raise ValueError(
+                f"multi-host training (process {self._shard[0]}/"
+                f"{self._shard[1]}) needs a per-process-sharded loader: "
+                f"construct it with DataLoader(..., shard={self._shard}) "
+                f"or pass data= and let Trainer build it")
         self.train_loader = train_loader
         if val_loader is None and data is not None and data.val_path:
             val_loader = create_dataloader(data.val_path, data, "val")
