@@ -43,6 +43,8 @@ def main() -> None:
                          "drift vs the unfused reference graph <= ~1e-3")
     ap.add_argument("--debug-dir", default=None,
                     help="dump GT/pred overlay images here")
+    ap.add_argument("--data-parallel", action="store_true",
+                    help="shard each val batch over all local devices")
     args = ap.parse_args()
 
     from yolo_re_tpu import YOLO
@@ -56,6 +58,16 @@ def main() -> None:
     if args.fuse:
         params, stats = model.fuse(params, stats)
 
+    mesh = None
+    if args.data_parallel:
+        from yolo_re_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh()
+        if args.fuse:
+            # pallas_call has no SPMD partitioning rule; the fused fast
+            # paths key off these param entries (serving.py does the same)
+            from yolo_re_tpu.serving import _strip_pallas
+            params, stats = _strip_pallas(params), _strip_pallas(stats)
+
     data = DataConfig(
         train_path=args.data, val_path=args.data,
         num_classes=args.num_classes, img_size=args.img_size,
@@ -66,7 +78,7 @@ def main() -> None:
         model, loader, num_classes=args.num_classes,
         conf_thres=args.conf, iou_thres=args.iou,
         compute_dtype="bfloat16" if args.bf16 else "float32",
-        debug_dir=args.debug_dir,
+        debug_dir=args.debug_dir, mesh=mesh,
     )
     results = evaluator.evaluate(params, stats)
     print(" ".join(f"{k}={v:.4f}" for k, v in results.items()))

@@ -178,11 +178,14 @@ def test_sharded_device_augment_full(tiny_model_path, synthetic_dataset):
     """device_augment='full' under a sharded batch: the mosaic partner
     gather crosses shard boundaries (XLA inserts the collective).
 
-    Runs in a subprocess with one retry: fetching the donated sharded
-    step's outputs intermittently SIGABRTs inside the XLA:CPU
-    multi-device runtime (observed ~1-in-2 full-suite runs at this exact
-    fetch; not reproducible in isolation, TPU path unaffected). Process
-    isolation keeps the known runtime flake from killing the suite.
+    Runs in a subprocess with the XLA:CPU concurrency-optimized thunk
+    scheduler DISABLED: the augmented step's two data-independent
+    collectives (mosaic ppermute + an all-reduce) can start in a
+    different order on different virtual devices, deadlocking the
+    rendezvous until the runtime SIGABRTs (root-caused 2026-08 in
+    __graft_entry__.dryrun_multichip — the same program shape). The
+    serialized scheduler fixes it deterministically; the retry stays as
+    defense in depth. TPU path unaffected.
     """
     import subprocess
     import sys
@@ -212,8 +215,14 @@ items = trainer.train_one_epoch(0)
 assert np.all(np.isfinite(items)), items
 print("DEVAUG_OK")
 """
+    import os
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_cpu_enable_concurrency_optimized_"
+                          "scheduler=false")
     for attempt in range(3):
-        r = subprocess.run([sys.executable, "-c", script],
+        r = subprocess.run([sys.executable, "-c", script], env=env,
                            capture_output=True, text=True, timeout=600)
         if "DEVAUG_OK" in r.stdout:
             # DEVAUG_OK prints after every assertion; a -6 afterwards is
@@ -349,3 +358,32 @@ print("MH_OK", pid)
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=3e-4,
             err_msg="stats" + jax.tree_util.keystr(path))
+
+
+def test_data_parallel_evaluator_matches_single(tiny_model_path):
+    """Evaluator(mesh=...) shards val batches over the mesh (padding
+    non-divisible ones) and returns the same mAP + per-image detections
+    as the single-device path — validation during data-parallel training
+    uses every chip."""
+    from yolo_re_tpu.eval.evaluator import Evaluator
+    from yolo_re_tpu.models.yolo import YOLO
+
+    model = YOLO.from_yaml(tiny_model_path)
+    params, stats = model.init(jax.random.key(0))
+    rng = np.random.default_rng(1)
+
+    def mk(b):
+        imgs = rng.integers(0, 255, (b, 64, 64, 3)).astype(np.uint8)
+        targets = np.zeros((b, 3, 5), np.float32)
+        targets[:, 0] = [0, 0.5, 0.5, 0.4, 0.4]
+        return {"images": imgs, "targets": targets,
+                "nboxes": np.ones((b,), np.int32)}
+
+    batches = [mk(8), mk(5)]  # divisible + padded batch
+
+    single = Evaluator(model, batches).evaluate(params, stats)
+    sharded = Evaluator(model, batches,
+                        mesh=make_mesh()).evaluate(params, stats)
+    for k in ("map50", "map75", "map"):
+        np.testing.assert_allclose(single[k], sharded[k], atol=1e-6,
+                                   err_msg=k)

@@ -3,9 +3,16 @@
 Reference: src/yolo/eval/evaluator.py. Differences for TPU:
 
 - decode + NMS run **on device**, batched and jit-compiled (the reference
-  loops per image on the host through torchvision NMS);
+  loops per image on the host through torchvision NMS); uint8 batches
+  normalize inside the same jit (no eager pre-pass);
 - only the fixed-shape (B, max_det, 6) NMS output crosses to the host;
-- GT comes from the loader's padded (B, M, 5) targets.
+- GT comes from the loader's padded (B, M, 5) targets;
+- `mesh=` shards each batch over a device mesh (params replicated,
+  batch padded to a device multiple and the padding sliced off on the
+  host) so validation during data-parallel training uses every chip
+  instead of one — the same GSPMD pattern as serving.Detector(mesh=...).
+  The NMS backend is forced to "xla" under a mesh (the Pallas kernel has
+  no SPMD partitioning rule).
 """
 
 from __future__ import annotations
@@ -38,6 +45,7 @@ class Evaluator:
         max_det: int = 300,
         compute_dtype: str = "float32",
         debug_dir: str | None = None,
+        mesh=None,
     ):
         self.model = model
         self.loader = loader
@@ -47,33 +55,60 @@ class Evaluator:
         self.max_det = max_det
         self.compute_dtype = compute_dtype
         self.debug_dir = debug_dir
+        self.mesh = mesh
 
-    def evaluate(self, params, stats, epoch: int = 0) -> dict[str, float]:
         import jax.numpy as jnp
 
+        dtype = (jnp.bfloat16 if compute_dtype == "bfloat16"
+                 else jnp.float32)
+
+        @jax.jit
+        def _step(params, stats, images):
+            """normalize -> forward -> decode -> NMS, one program. Under a
+            mesh GSPMD partitions it across the batch axis; the padded-NMS
+            dict is the only thing that crosses back to the host."""
+            if images.dtype == jnp.uint8:
+                x = images.astype(dtype) / 255.0
+            else:
+                x = images.astype(dtype)
+            decoded, _ = self.model.predict(params, stats, x)
+            if isinstance(decoded, dict):  # dual head: evaluate main branch
+                decoded = decoded["main"]  # (reference: evaluator.py:105-113)
+            return non_max_suppression(
+                decoded, conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                max_det=self.max_det,
+                backend="xla" if self.mesh is not None else "auto")
+
+        self._step = _step
+
+    def evaluate(self, params, stats, epoch: int = 0) -> dict[str, float]:
         pred_boxes, pred_scores, pred_classes = [], [], []
         gt_boxes, gt_classes = [], []
         debug: list | None = [] if self.debug_dir else None
         t0 = time.perf_counter()
         n_images = 0
-        dtype = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
-                 else jnp.float32)
+
+        if self.mesh is not None:
+            from yolo_re_tpu.parallel.mesh import (
+                batch_sharding,
+                replicate_tree,
+            )
+            params = replicate_tree(params, self.mesh)
+            stats = replicate_tree(stats, self.mesh)
 
         for batch in self.loader:
-            images = batch["images"]
-            if images.dtype == np.uint8:  # uint8 loaders: normalize on device
-                images = jnp.asarray(images).astype(dtype) / 255.0
-            else:
-                images = jnp.asarray(images, dtype=dtype)
+            images = np.asarray(batch["images"])
             b, h, w = images.shape[0], images.shape[1], images.shape[2]
-            out = self.model.predict(params, stats, images)
-            decoded = out[0]
-            if isinstance(decoded, dict):  # dual head: evaluate main branch
-                decoded = decoded["main"]  # (reference: evaluator.py:105-113)
-            nms_out = non_max_suppression(
-                decoded, conf_thres=self.conf_thres, iou_thres=self.iou_thres,
-                max_det=self.max_det)
-            dets = nms_to_list(nms_out)
+            if self.mesh is not None:
+                n = self.mesh.size
+                gb = -(-b // n) * n
+                if gb != b:  # pad for divisibility; sliced off below
+                    images = np.concatenate(
+                        [images, np.zeros((gb - b, *images.shape[1:]),
+                                          images.dtype)])
+                images = jax.device_put(images, batch_sharding(self.mesh))
+            nms_out = self._step(params, stats, images)
+            dets = nms_to_list(nms_out)[:b]
 
             targets = np.asarray(batch["targets"])
             nboxes = np.asarray(batch["nboxes"])
@@ -97,10 +132,12 @@ class Evaluator:
                     gt_classes.append(np.zeros((0,), np.int64))
             if (debug is not None
                     and (nboxes > 0).any()  # only batches with GT are usable
-                    and sum(int((d[3] > 0).sum()) for d in debug) < 10
-                    and (not debug or debug[0][0].shape[1:] == images.shape[1:])):
-                debug.append((np.asarray(images, np.float32), dets,
-                              targets, nboxes))
+                    and sum(int((d[3] > 0).sum()) for d in debug) < 10):
+                host = np.asarray(batch["images"][:b], np.float32)
+                if np.asarray(batch["images"]).dtype == np.uint8:
+                    host = host / 255.0
+                if not debug or debug[0][0].shape[1:] == host.shape[1:]:
+                    debug.append((host, dets, targets, nboxes))
             n_images += b
 
         if debug:

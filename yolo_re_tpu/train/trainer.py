@@ -382,6 +382,7 @@ class Trainer:
         if self.val_loader is None:
             return {}
         p, s = self.ema["params"], self.ema["stats"]
+        mesh = self.mesh
         if jax.process_count() > 1:
             # Validation is process-0 work: pull the (replicated) EMA
             # weights to the host so the eval jit runs on local devices
@@ -390,7 +391,8 @@ class Trainer:
             if jax.process_index():
                 return {}
             p, s = jax.device_get(p), jax.device_get(s)
-        evaluator = Evaluator(self.model, self.val_loader,
+            mesh = None  # the training mesh spans hosts; eval stays local
+        evaluator = Evaluator(self.model, self.val_loader, mesh=mesh,
                               debug_dir=str(Path(self.config.output_dir) / "debug"))
         return evaluator.evaluate(p, s, epoch=epoch + 1)
 
