@@ -312,7 +312,11 @@ multihost_utils.sync_global_devices("exit")  # exit together: the shutdown
 print("MH_OK", pid)
 """
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # device count set via config in-script
+    # device count set via config in-script; serialized thunk order guards
+    # against the data-independent-collective rendezvous deadlock (see
+    # test_sharded_device_augment_full)
+    env["XLA_FLAGS"] = \
+        "--xla_cpu_enable_concurrency_optimized_scheduler=false"
     procs = [subprocess.Popen([sys.executable, "-c", worker, str(p)],
                               stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                               text=True, env=env, cwd=repo)
