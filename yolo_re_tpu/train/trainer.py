@@ -392,9 +392,13 @@ class Trainer:
                 return {}
             p, s = jax.device_get(p), jax.device_get(s)
             mesh = None  # the training mesh spans hosts; eval stays local
-        evaluator = Evaluator(self.model, self.val_loader, mesh=mesh,
-                              debug_dir=str(Path(self.config.output_dir) / "debug"))
-        return evaluator.evaluate(p, s, epoch=epoch + 1)
+        if getattr(self, "_evaluator", None) is None:
+            # one Evaluator for the run: its jitted predict->NMS program
+            # would otherwise re-trace every epoch
+            self._evaluator = Evaluator(
+                self.model, self.val_loader, mesh=mesh,
+                debug_dir=str(Path(self.config.output_dir) / "debug"))
+        return self._evaluator.evaluate(p, s, epoch=epoch + 1)
 
     def train(self) -> dict[str, float]:
         cfg = self.config
