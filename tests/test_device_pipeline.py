@@ -153,3 +153,187 @@ def test_augment_batch_full_jits():
     for row in valid:
         nz = np.flatnonzero(row)
         assert nz.size == 0 or nz.max() == nz.size - 1
+
+
+# ---------------------------------------------------------------------------
+# general (rotation/shear/perspective) device warp — host parity
+# ---------------------------------------------------------------------------
+
+def _smooth_image(h, w, seed=0):
+    """Low-gradient test image: interpolation differences between cv2's
+    fixed-point bilinear and our float bilinear stay tiny on it."""
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([
+        0.5 + 0.4 * np.sin(x / 17.0) * np.cos(y / 13.0),
+        0.5 + 0.4 * np.cos(x / 11.0 + 1.0) * np.sin(y / 19.0),
+        0.5 + 0.4 * np.sin((x + y) / 23.0),
+    ], axis=-1)
+    return img.astype(np.float32)
+
+
+def _host_matrix(rng, img_shape, out_hw, degrees, scale, shear, perspective,
+                 translate):
+    """Reconstruct random_perspective's M = T@S@R@P@C with the host's exact
+    draw order (data/augment.py:103-142). Returns (M, zoom_scale)."""
+    import math
+
+    import cv2
+
+    height, width = out_hw
+    C = np.eye(3)
+    C[0, 2] = -img_shape[1] / 2
+    C[1, 2] = -img_shape[0] / 2
+    P = np.eye(3)
+    P[2, 0] = rng.uniform(-perspective, perspective)
+    P[2, 1] = rng.uniform(-perspective, perspective)
+    R = np.eye(3)
+    a = rng.uniform(-degrees, degrees)
+    s = rng.uniform(1 - scale, 1 + scale)
+    R[:2] = cv2.getRotationMatrix2D(angle=a, center=(0, 0), scale=s)
+    S = np.eye(3)
+    S[0, 1] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    S[1, 0] = math.tan(rng.uniform(-shear, shear) * math.pi / 180)
+    T = np.eye(3)
+    T[0, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * width
+    T[1, 2] = rng.uniform(0.5 - translate, 0.5 + translate) * height
+    return T @ S @ R @ P @ C, s
+
+
+def test_warp_perspective_matches_cv2_affine():
+    import cv2
+
+    from yolo_re_tpu.data.device_pipeline import warp_perspective
+
+    s = 48
+    canvas = _smooth_image(2 * s, 2 * s)
+    rng = np.random.default_rng(7)
+    M, _ = _host_matrix(rng, canvas.shape, (s, s), degrees=10.0, scale=0.5,
+                        shear=2.0, perspective=0.0, translate=0.1)
+    ours = np.asarray(warp_perspective(
+        jnp.asarray(canvas[None]), jnp.asarray(M[None], jnp.float32), s,
+        pad=114.0 / 255.0, use_perspective=False))[0]
+    ref = cv2.warpAffine(canvas, M[:2], dsize=(s, s),
+                         borderValue=(114 / 255.0,) * 3)
+    diff = np.abs(ours - ref)
+    assert diff.mean() < 2e-3, diff.mean()
+    assert np.percentile(diff, 99) < 2e-2, np.percentile(diff, 99)
+
+
+def test_warp_perspective_matches_cv2_perspective():
+    import cv2
+
+    from yolo_re_tpu.data.device_pipeline import warp_perspective
+
+    s = 48
+    canvas = _smooth_image(2 * s, 2 * s, seed=1)
+    rng = np.random.default_rng(11)
+    M, _ = _host_matrix(rng, canvas.shape, (s, s), degrees=5.0, scale=0.3,
+                        shear=1.0, perspective=0.0005, translate=0.1)
+    ours = np.asarray(warp_perspective(
+        jnp.asarray(canvas[None]), jnp.asarray(M[None], jnp.float32), s,
+        pad=114.0 / 255.0, use_perspective=True))[0]
+    ref = cv2.warpPerspective(canvas, M, dsize=(s, s),
+                              borderValue=(114 / 255.0,) * 3)
+    diff = np.abs(ours - ref)
+    assert diff.mean() < 2e-3, diff.mean()
+    assert np.percentile(diff, 99) < 2e-2, np.percentile(diff, 99)
+
+
+def test_warp_boxes_matches_host_random_perspective_labels():
+    """Device corner-transform + candidate filter == the host
+    random_perspective label path at degrees=10 (VERDICT r3 Weak #3)."""
+    from yolo_re_tpu.data.augment import random_perspective
+    from yolo_re_tpu.data.device_pipeline import warp_boxes
+
+    s = 64
+    canvas = (np.clip(_smooth_image(2 * s, 2 * s), 0, 1) * 255).astype(
+        np.uint8)
+    boxes = np.array([
+        [0, 20.0, 25.0, 70.0, 80.0],
+        [1, 60.0, 64.0, 100.0, 96.0],
+        [2, 5.0, 5.0, 9.0, 9.0],        # small: may get filtered
+        [3, 90.0, 10.0, 126.0, 60.0],
+    ], np.float32)
+
+    # host path (draws its own M from this rng)
+    host_img, host_labels = random_perspective(
+        canvas.copy(), boxes.copy(), degrees=10.0, translate=0.1, scale=0.5,
+        shear=2.0, perspective=0.0, border=(-s // 2, -s // 2),
+        rng=np.random.default_rng(3))
+    # reconstruct the same M with the same seeded draw order
+    M, zs = _host_matrix(np.random.default_rng(3), canvas.shape, (s, s),
+                         degrees=10.0, scale=0.5, shear=2.0, perspective=0.0,
+                         translate=0.1)
+
+    cx = jnp.asarray((boxes[:, 1] + boxes[:, 3]) / 2)[None]
+    cy = jnp.asarray((boxes[:, 2] + boxes[:, 4]) / 2)[None]
+    bw = jnp.asarray(boxes[:, 3] - boxes[:, 1])[None]
+    bh = jnp.asarray(boxes[:, 4] - boxes[:, 2])[None]
+    x1, y1, x2, y2 = (np.asarray(v)[0] for v in warp_boxes(
+        jnp.asarray(M[None], jnp.float32), cx, cy, bw, bh, s,
+        use_perspective=False))
+
+    w2, h2 = x2 - x1, y2 - y1
+    w1, h1 = (boxes[:, 3] - boxes[:, 1]) * zs, (boxes[:, 4] - boxes[:, 2]) * zs
+    ar = np.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
+    keep = (w2 > 2) & (h2 > 2) & (ar < 100) \
+        & (w2 * h2 / (w1 * h1 + 1e-16) > 0.1)
+
+    assert keep.sum() == len(host_labels)
+    dev = np.stack([x1, y1, x2, y2], -1)[keep]
+    np.testing.assert_allclose(dev, host_labels[:, 1:5], atol=1e-3)
+
+    # image parity on the same M
+    from yolo_re_tpu.data.device_pipeline import warp_perspective
+
+    ours = np.asarray(warp_perspective(
+        jnp.asarray(canvas[None].astype(np.float32)),
+        jnp.asarray(M[None], jnp.float32), s, pad=114.0,
+        use_perspective=False))[0]
+    diff = np.abs(ours - host_img.astype(np.float32))
+    assert diff.mean() < 2.0, diff.mean()   # cv2 fixed-point bilinear noise
+
+
+def test_mosaic_affine_general_path_matches_fast_at_zero():
+    """The gather-based general path degenerates to the separable fast path
+    when degrees/shear/perspective are ~0 (same bilinear math)."""
+    from yolo_re_tpu.data.device_pipeline import mosaic_affine
+
+    s = 32
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.random((2, s, s, 3)).astype(np.float32))
+    targets = jnp.asarray(
+        np.tile([[1, 0.5, 0.5, 0.4, 0.4], [2, 0.3, 0.3, 0.2, 0.2]],
+                (2, 1, 1)).astype(np.float32))
+    kw = dict(partner_idx=jnp.asarray([[1, 0, 1], [0, 1, 0]], jnp.int32),
+              zoom=jnp.asarray([0.8, 1.2]),
+              shift=jnp.asarray([[14.0, 18.0], [20.0, 12.0]]))
+    out_f, t_f = mosaic_affine(img, targets, jax.random.key(0), **kw)
+    out_g, t_g = mosaic_affine(img, targets, jax.random.key(0),
+                               degrees=1e-12, **kw)
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_f),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t_g), np.asarray(t_f), atol=1e-3)
+
+
+def test_augment_batch_full_general_jits():
+    """degrees/shear/perspective nonzero: full pipeline still jits and
+    produces finite images + valid compacted labels."""
+    from yolo_re_tpu.data.device_pipeline import augment_batch_full
+
+    rng = np.random.default_rng(13)
+    img = jnp.asarray(rng.random((4, 32, 32, 3)).astype(np.float32))
+    targets = jnp.zeros((4, 6, 5), jnp.float32)
+    targets = targets.at[:, 0].set(jnp.asarray([1, 0.5, 0.5, 0.6, 0.6]))
+    from functools import partial
+
+    f = jax.jit(partial(augment_batch_full, degrees=10.0, shear=2.0,
+                        perspective=0.0005))
+    out, t = f(img, targets, jax.random.key(2))
+    assert out.shape == img.shape and t.shape == targets.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    rows = np.asarray(t)
+    valid = rows[..., 3] > 0
+    assert valid.sum() > 0
+    assert np.all(rows[..., 1:][valid] >= -1e-5)
+    assert np.all(rows[..., 1:3][valid] <= 1.0 + 1e-5)

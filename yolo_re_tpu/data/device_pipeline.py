@@ -193,11 +193,131 @@ def _affine_weights(srcf: jax.Array, src_size: int) -> jax.Array:
     return jnp.clip(1.0 - jnp.abs(srcf[..., None] - j), 0.0, 1.0)
 
 
+def _compose_warp_matrices(key: jax.Array, zoom: jax.Array,
+                           shift: jax.Array, canvas_size: int, *,
+                           degrees: float, shear: float,
+                           perspective: float) -> jax.Array:
+    """Per-sample forward 3x3 warp matrices, host `random_perspective`
+    composition M = T @ S @ R @ P @ C (data/augment.py:103-142, reference
+    src/yolo/data/augment.py:97-184): center at canvas/2, perspective,
+    rotation+scale (cv2.getRotationMatrix2D convention), shear, translate.
+
+    zoom (B,), shift (B, 2) [y, x] in output pixels. Returns (B, 3, 3) f32
+    mapping canvas pixel coords -> output pixel coords.
+    """
+    b = zoom.shape[0]
+    ka, ksx, ksy, kpx, kpy = jax.random.split(key, 5)
+    ang = jax.random.uniform(ka, (b,), minval=-degrees, maxval=degrees)
+    shx = jnp.tan(jnp.deg2rad(
+        jax.random.uniform(ksx, (b,), minval=-shear, maxval=shear)))
+    shy = jnp.tan(jnp.deg2rad(
+        jax.random.uniform(ksy, (b,), minval=-shear, maxval=shear)))
+    px = jax.random.uniform(kpx, (b,), minval=-perspective,
+                            maxval=perspective)
+    py = jax.random.uniform(kpy, (b,), minval=-perspective,
+                            maxval=perspective)
+
+    zero = jnp.zeros((b,), jnp.float32)
+    one = jnp.ones((b,), jnp.float32)
+
+    def mat(rows):
+        return jnp.stack([jnp.stack(r, -1) for r in rows], -2)
+
+    half = canvas_size / 2.0
+    C = mat([[one, zero, -half * one], [zero, one, -half * one],
+             [zero, zero, one]])
+    P = mat([[one, zero, zero], [zero, one, zero], [px, py, one]])
+    # cv2.getRotationMatrix2D(angle=a, center=(0,0), scale=z):
+    # [[z cos a, z sin a, 0], [-z sin a, z cos a, 0]]
+    rad = jnp.deg2rad(ang)
+    ca, sa = jnp.cos(rad) * zoom, jnp.sin(rad) * zoom
+    R = mat([[ca, sa, zero], [-sa, ca, zero], [zero, zero, one]])
+    S = mat([[one, shx, zero], [shy, one, zero], [zero, zero, one]])
+    T = mat([[one, zero, shift[:, 1]], [zero, one, shift[:, 0]],
+             [zero, zero, one]])
+    mm = lambda a_, b_: jnp.einsum("bij,bjk->bik", a_, b_)
+    return mm(T, mm(S, mm(R, mm(P, C))))
+
+
+def warp_perspective(canvas: jax.Array, M: jax.Array, out_size: int, *,
+                     pad: float = _PAD,
+                     use_perspective: bool = False) -> jax.Array:
+    """Batched inverse-mapped bilinear warp with constant border fill.
+
+    canvas (B, Hc, Wc, C); M (B, 3, 3) FORWARD matrices (canvas px ->
+    output px, host cv2.warpAffine/warpPerspective semantics with
+    borderValue=114). Non-separable (rotation/shear/perspective), so this
+    samples via 4 batched gathers instead of the two-matmul fast path —
+    used only when those hyps are nonzero.
+    """
+    b, hc, wc, c = canvas.shape
+    minv = jnp.linalg.inv(M.astype(jnp.float32))
+    ox = jnp.arange(out_size, dtype=jnp.float32)
+    gx = jnp.broadcast_to(ox[None, :], (out_size, out_size))
+    gy = jnp.broadcast_to(ox[:, None], (out_size, out_size))
+    def comp(row):
+        return (minv[:, row, 0, None, None] * gx
+                + minv[:, row, 1, None, None] * gy
+                + minv[:, row, 2, None, None])
+    sx, sy = comp(0), comp(1)
+    if use_perspective:
+        w = comp(2)
+        w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+        sx, sy = sx / w, sy / w
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0).astype(jnp.float32)
+    fy = (sy - y0).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    flat = canvas.astype(jnp.float32).reshape(b, hc * wc, c)
+
+    def tap(yi, xi):
+        inb = (yi >= 0) & (yi < hc) & (xi >= 0) & (xi < wc)
+        idx = jnp.clip(yi, 0, hc - 1) * wc + jnp.clip(xi, 0, wc - 1)
+        v = jnp.take_along_axis(flat, idx.reshape(b, -1, 1), axis=1)
+        v = v.reshape(b, out_size, out_size, c)
+        return jnp.where(inb[..., None], v, pad)
+
+    out = (tap(y0i, x0i) * ((1 - fy) * (1 - fx))[..., None]
+           + tap(y0i, x0i + 1) * ((1 - fy) * fx)[..., None]
+           + tap(y0i + 1, x0i) * (fy * (1 - fx))[..., None]
+           + tap(y0i + 1, x0i + 1) * (fy * fx)[..., None])
+    return out.astype(canvas.dtype)
+
+
+def warp_boxes(M: jax.Array, cx: jax.Array, cy: jax.Array, bw: jax.Array,
+               bh: jax.Array, out_size: int, *, use_perspective: bool
+               ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Axis-aligned bbox of each box's 4 warped corners, clipped to the
+    output canvas (host label path, data/augment.py:152-165). M (B, 3, 3);
+    cx/cy/bw/bh (B, ...) canvas-pixel boxes. Returns x1, y1, x2, y2."""
+    hw, hh = bw / 2, bh / 2
+    xs = jnp.stack([cx - hw, cx + hw, cx - hw, cx + hw], axis=-1)
+    ys = jnp.stack([cy - hh, cy - hh, cy + hh, cy + hh], axis=-1)
+    extra = (1,) * (xs.ndim - 2)
+    m = M.reshape(M.shape[0], *extra, 3, 3)
+    xp = m[..., 0:1, 0] * xs + m[..., 0:1, 1] * ys + m[..., 0:1, 2]
+    yp = m[..., 1:2, 0] * xs + m[..., 1:2, 1] * ys + m[..., 1:2, 2]
+    if use_perspective:
+        w = m[..., 2:3, 0] * xs + m[..., 2:3, 1] * ys + m[..., 2:3, 2]
+        w = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+        xp, yp = xp / w, yp / w
+    x1 = jnp.clip(xp.min(-1), 0.0, out_size)
+    y1 = jnp.clip(yp.min(-1), 0.0, out_size)
+    x2 = jnp.clip(xp.max(-1), 0.0, out_size)
+    y2 = jnp.clip(yp.max(-1), 0.0, out_size)
+    return x1, y1, x2, y2
+
+
 def mosaic_affine(images: jax.Array, targets: jax.Array, key: jax.Array,
                   partner_idx: jax.Array | None = None,
                   zoom: jax.Array | None = None,
                   shift: jax.Array | None = None, *,
                   scale: float = 0.9, translate: float = 0.1,
+                  degrees: float = 0.0, shear: float = 0.0,
+                  perspective: float = 0.0,
                   mosaic_p: float = 1.0, max_out: int | None = None,
                   pad: float = _PAD) -> tuple[jax.Array, jax.Array]:
     """Batch-internal 4-image mosaic + random zoom/translate, on device.
@@ -242,22 +362,35 @@ def mosaic_affine(images: jax.Array, targets: jax.Array, key: jax.Array,
     canvas = tiles.reshape(b, 2, 2, s, s, c).transpose(0, 1, 3, 2, 4, 5)
     canvas = canvas.reshape(b, 2 * s, 2 * s, c)
 
-    dst = jnp.arange(s, dtype=jnp.float32)
-    z = zoom[:, None]
-    src_y = (dst[None] - shift[:, :1]) / z + s
-    src_x = (dst[None] - shift[:, 1:]) / z + s
-    wy = _affine_weights(src_y, 2 * s)                         # (B, S, 2S)
-    wx = _affine_weights(src_x, 2 * s)
+    # degrees/shear/perspective are static config floats: zero (every
+    # shipped preset) keeps the separable two-matmul fast path; nonzero
+    # takes the general gather-based warp (host random_perspective
+    # semantics, data/augment.py:103-175).
+    general = bool(degrees or shear or perspective)
+    if general:
+        M = _compose_warp_matrices(k5, zoom, shift, 2 * s, degrees=degrees,
+                                   shear=shear, perspective=perspective)
+        out = warp_perspective(canvas, M, s, pad=pad,
+                               use_perspective=perspective > 0)
+    else:
+        dst = jnp.arange(s, dtype=jnp.float32)
+        z = zoom[:, None]
+        src_y = (dst[None] - shift[:, :1]) / z + s
+        src_x = (dst[None] - shift[:, 1:]) / z + s
+        wy = _affine_weights(src_y, 2 * s)                     # (B, S, 2S)
+        wx = _affine_weights(src_x, 2 * s)
 
-    # keep resampling in the image dtype (bf16 under the trainer): a mixed
-    # bf16 x f32 einsum would promote the whole canvas back to f32.
-    wy = wy.astype(images.dtype)
-    wx = wx.astype(images.dtype)
-    out = jnp.einsum("boh,bhwc->bowc", wy, canvas)
-    out = out + ((1.0 - wy.sum(-1))[..., None, None] * pad).astype(out.dtype)
-    out = jnp.einsum("bpw,bhwc->bhpc", wx, out)
-    out = out + ((1.0 - wx.sum(-1))[:, None, :, None] * pad).astype(out.dtype)
-    out = out.astype(images.dtype)
+        # keep resampling in the image dtype (bf16 under the trainer): a
+        # mixed bf16 x f32 einsum would promote the canvas back to f32.
+        wy = wy.astype(images.dtype)
+        wx = wx.astype(images.dtype)
+        out = jnp.einsum("boh,bhwc->bowc", wy, canvas)
+        out = out + ((1.0 - wy.sum(-1))[..., None, None]
+                     * pad).astype(out.dtype)
+        out = jnp.einsum("bpw,bhwc->bhpc", wx, out)
+        out = out + ((1.0 - wx.sum(-1))[:, None, :, None]
+                     * pad).astype(out.dtype)
+        out = out.astype(images.dtype)
 
     # -- labels: tile offset -> canvas px -> affine -> normalized ------------
     tile_t = jnp.stack([targets, targets[partner_idx[:, 0]],
@@ -271,18 +404,25 @@ def mosaic_affine(images: jax.Array, targets: jax.Array, key: jax.Array,
     valid = (tile_t[..., 3] > 0) & (tile_t[..., 4] > 0)
 
     zq = zoom[:, None, None]
-    cx = zq * (cx - s) + shift[:, None, None, 1]
-    cy = zq * (cy - s) + shift[:, None, None, 0]
-    bw, bh = bw * zq, bh * zq
-    x1 = jnp.clip(cx - bw / 2, 0.0, s)
-    y1 = jnp.clip(cy - bh / 2, 0.0, s)
-    x2 = jnp.clip(cx + bw / 2, 0.0, s)
-    y2 = jnp.clip(cy + bh / 2, 0.0, s)
+    if general:
+        x1, y1, x2, y2 = warp_boxes(M, cx, cy, bw, bh, s,
+                                    use_perspective=perspective > 0)
+        bw, bh = bw * zq, bh * zq      # box1 * s for the area-ratio filter
+    else:
+        cx = zq * (cx - s) + shift[:, None, None, 1]
+        cy = zq * (cy - s) + shift[:, None, None, 0]
+        bw, bh = bw * zq, bh * zq
+        x1 = jnp.clip(cx - bw / 2, 0.0, s)
+        y1 = jnp.clip(cy - bh / 2, 0.0, s)
+        x2 = jnp.clip(cx + bw / 2, 0.0, s)
+        y2 = jnp.clip(cy + bh / 2, 0.0, s)
     w2, h2 = x2 - x1, y2 - y1
-    # candidate filter == host _box_candidates (data/augment.py:158-166)
+    # candidate filter == host _box_candidates (data/augment.py:158-166);
+    # the survival threshold relaxes under perspective like the host's.
+    area_thr = 0.01 if perspective else 0.1
     ar = jnp.maximum(w2 / (h2 + 1e-16), h2 / (w2 + 1e-16))
     keep = valid & (w2 > 2) & (h2 > 2) & (ar < 100) \
-        & (w2 * h2 / (bw * bh + 1e-16) > 0.1)
+        & (w2 * h2 / (bw * bh + 1e-16) > area_thr)
 
     flat = jnp.stack([tile_t[..., 0],
                       (x1 + x2) / 2 / s, (y1 + y2) / 2 / s,
@@ -336,21 +476,26 @@ def mixup(images: jax.Array, targets: jax.Array, key: jax.Array,
 
 def augment_batch_full(images: jax.Array, targets: jax.Array,
                        key: jax.Array, *, scale: float = 0.9,
-                       translate: float = 0.1, mosaic_p: float = 1.0,
+                       translate: float = 0.1, degrees: float = 0.0,
+                       shear: float = 0.0, perspective: float = 0.0,
+                       mosaic_p: float = 1.0,
                        mixup_p: float = 0.15, hsv_h: float = 0.015,
                        hsv_s: float = 0.7, hsv_v: float = 0.4,
                        flip_lr: float = 0.5, flip_ud: float = 0.0,
                        max_out: int | None = None
                        ) -> tuple[jax.Array, jax.Array]:
     """The whole train-time augmentation pipeline on device: mosaic +
-    zoom/translate + mixup + HSV + flips. The host then only decodes and
-    letterboxes (its 'minimal' path) — on this single-core host that is
-    the difference between a loader-bound and a device-bound trainer."""
+    full random_perspective warp (zoom/translate separable fast path;
+    rotation/shear/perspective general path) + mixup + HSV + flips. The
+    host then only decodes and letterboxes (its 'minimal' path) — on this
+    single-core host that is the difference between a loader-bound and a
+    device-bound trainer."""
     k1, k2, k3 = jax.random.split(key, 3)
     cap = max_out or targets.shape[1]
     if mosaic_p > 0:
         images, targets = mosaic_affine(
             images, targets, k1, scale=scale, translate=translate,
+            degrees=degrees, shear=shear, perspective=perspective,
             mosaic_p=mosaic_p)
     if mixup_p > 0:
         images, targets = mixup(images, targets, k2, p=mixup_p)

@@ -336,10 +336,25 @@ def adown_bwd_from_packed(xp: jax.Array, g: jax.Array, w1q: jax.Array,
     # row-block of 8 puts peak VMEM around ~11 MB at down1 shapes;
     # YOLO_TPU_ADOWN_BWD_TO=4 (trace-time read) halves it.
     env_to = os.environ.get("YOLO_TPU_ADOWN_BWD_TO")
-    # An env value that is < 2 or does not divide h_out falls back to the
-    # default chain instead of raising a bare StopIteration in tracing.
-    cands = (int(env_to), 8, 4, 2) if env_to else (8, 4, 2)
+    # An env value that is non-numeric, < 2, or does not divide h_out falls
+    # back to the default chain (with a warning) instead of raising a bare
+    # ValueError/StopIteration at trace time.
+    cands = (8, 4, 2)
+    if env_to:
+        try:
+            cands = (int(env_to),) + cands
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                f"ignoring non-integer YOLO_TPU_ADOWN_BWD_TO={env_to!r}")
     to = next(t for t in cands if t >= 2 and h_out % t == 0)
+    if env_to and cands[0] != to and cands != (8, 4, 2):
+        import warnings
+
+        warnings.warn(
+            f"YOLO_TPU_ADOWN_BWD_TO={env_to!r} is <2 or does not divide "
+            f"h_out={h_out}; using to={to}")
     wp = (wp_true + 7) // 8 * 8
     if wp != wp_true:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, wp - wp_true), (0, 0)))

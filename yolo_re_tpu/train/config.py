@@ -36,8 +36,10 @@ class TrainConfig:
     compute_dtype: str = "float32"   # "float32" | "bfloat16"
     checkpoint_format: str = "npz"   # "npz" (one file) | "orbax" (directory)
     data_parallel: bool = True       # shard batch over all local devices
-    # False | True (HSV/flip on device) | "full" (mosaic/zoom/mixup/HSV/flip
-    # on device; host only decodes + letterboxes)
+    # False | True (HSV/flip on device) | "full" (the whole pipeline on
+    # device — mosaic, full random_perspective warp incl. nonzero
+    # degrees/shear/perspective, mixup, HSV, flips; host only decodes +
+    # letterboxes)
     device_augment: bool | str = False
     remat: bool | str = False        # per-block remat: True=all blocks,
                                      # "early"=downscale<=8 stages only

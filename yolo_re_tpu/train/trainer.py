@@ -130,6 +130,9 @@ class Trainer:
             if self._device_aug_full:
                 self._device_aug.update(scale=aug.scale,
                                         translate=aug.translate,
+                                        degrees=aug.degrees,
+                                        shear=aug.shear,
+                                        perspective=aug.perspective,
                                         mosaic_p=aug.mosaic,
                                         mixup_p=aug.mixup)
                 host_off += ["mosaic", "mixup", "scale", "translate",
@@ -153,17 +156,23 @@ class Trainer:
                 "either data.train_path or train_loader is required"
             train_loader = create_dataloader(data.train_path, data, "train",
                                              shard=self._shard)
-        elif self._shard is not None \
-                and getattr(train_loader, "shard", None) != self._shard:
+        elif self._shard is not None:
             # A user-supplied loader in a multi-host run must yield THIS
             # process's slice; silently accepting an unsharded one would
             # assemble a process_count-times batch of duplicated samples
             # (make_array_from_process_local_data concatenates per-host).
-            raise ValueError(
-                f"multi-host training (process {self._shard[0]}/"
-                f"{self._shard[1]}) needs a per-process-sharded loader: "
-                f"construct it with DataLoader(..., shard={self._shard}) "
-                f"or pass data= and let Trainer build it")
+            # Contract for custom loaders: expose a `.shard` attribute equal
+            # to (process_index, process_count) — any 2-sequence is accepted.
+            loader_shard = getattr(train_loader, "shard", None)
+            if loader_shard is not None:
+                loader_shard = tuple(loader_shard)
+            if loader_shard != self._shard:
+                raise ValueError(
+                    f"multi-host training (process {self._shard[0]}/"
+                    f"{self._shard[1]}) needs a per-process-sharded loader: "
+                    f"construct it with DataLoader(..., shard={self._shard}),"
+                    f" pass data= and let Trainer build it, or mark a custom "
+                    f"pre-sharded iterable with loader.shard = {self._shard}")
         self.train_loader = train_loader
         if val_loader is None and data is not None and data.val_path:
             val_loader = create_dataloader(data.val_path, data, "val")
