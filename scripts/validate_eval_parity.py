@@ -30,82 +30,13 @@ from yolo_re_tpu.utils.platform import select_platform  # noqa: E402
 
 select_platform()
 
+from yolo_re_tpu.data.synth import (  # noqa: E402
+    NUM_CLASSES,
+    TINY_YAML,
+    write_dataset as make_dataset,
+)
+
 REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
-
-NUM_CLASSES = 4
-COLORS = [(60, 60, 230), (60, 230, 60), (230, 60, 60), (60, 230, 230)]  # BGR
-
-TINY_YAML = """
-model:
-  num_classes: 4
-layers:
-  - {name: stem1, type: Conv, out_channels: 16, kernel_size: 3, stride: 2}
-  - {name: stem2, type: Conv, out_channels: 32, kernel_size: 3, stride: 2}
-  - {name: stage1, type: RepNCSPELAN4, out_channels: 32, hidden_channels: 32, block_channels: 16, num_repeats: 1}
-  - {name: down1, type: ADown, out_channels: 32}
-  - {name: stage2, type: RepNCSPELAN4, out_channels: 48, hidden_channels: 48, block_channels: 24, num_repeats: 1}
-  - {name: down2, type: ADown, out_channels: 48}
-  - {name: stage3, type: RepNCSPELAN4, out_channels: 64, hidden_channels: 64, block_channels: 32, num_repeats: 1}
-  - {name: up1, type: Upsample, scale_factor: 2}
-  - {name: concat1, type: Concat, from: [up1, stage2]}
-  - {name: fpn1, type: RepNCSPELAN4, out_channels: 48, hidden_channels: 48, block_channels: 24, num_repeats: 1}
-  - {name: up2, type: Upsample, scale_factor: 2}
-  - {name: concat2, type: Concat, from: [up2, stage1]}
-  - {name: fpn2, type: RepNCSPELAN4, out_channels: 32, hidden_channels: 32, block_channels: 16, num_repeats: 1}
-  - {name: pan_down1, type: ADown, out_channels: 32}
-  - {name: concat3, type: Concat, from: [pan_down1, fpn1]}
-  - {name: pan1, type: RepNCSPELAN4, out_channels: 48, hidden_channels: 48, block_channels: 24, num_repeats: 1}
-  - {name: pan_down2, type: ADown, out_channels: 48}
-  - {name: concat4, type: Concat, from: [pan_down2, stage3]}
-  - {name: pan2, type: RepNCSPELAN4, out_channels: 64, hidden_channels: 64, block_channels: 32, num_repeats: 1}
-  - {name: detect, type: DetectDFL, from: [fpn2, pan1, pan2]}
-"""
-
-
-def make_dataset(root: str, split: str, n: int, seed: int,
-                 dense: bool = False) -> str:
-    """Synthetic detection data: solid color-coded rectangles (class k ->
-    color k) on dark noise — learnable in a few hundred steps.
-
-    dense=True: 56-96 small boxes per 320px image on a jittered 10x10
-    grid — the dense-GT regime (round-2 VERDICT Weak #2) where crowded
-    NMS, many-GT greedy matching, and the max_det budget all bite."""
-    import cv2
-
-    img_dir = os.path.join(root, "images", split)
-    lab_dir = os.path.join(root, "labels", split)
-    os.makedirs(img_dir, exist_ok=True)
-    os.makedirs(lab_dir, exist_ok=True)
-    rng = np.random.default_rng(seed)
-    for i in range(n):
-        h = w = 320 if dense else 160
-        img = rng.integers(0, 80, (h, w, 3)).astype(np.uint8)
-        lines = []
-        if dense:
-            cells = [(r, c) for r in range(10) for c in range(10)]
-            rng.shuffle(cells)
-            placements = []
-            for (r, c) in cells[:int(rng.integers(56, 97))]:
-                cx = (c + 0.5) * w / 10 + rng.uniform(-4, 4)
-                cy = (r + 0.5) * h / 10 + rng.uniform(-4, 4)
-                bw, bh = rng.uniform(12, 24, 2)
-                placements.append((cx / w, cy / h, bw / w, bh / h))
-        else:
-            placements = []
-            for _ in range(int(rng.integers(1, 4))):
-                cx, cy = rng.uniform(0.25, 0.75, 2)
-                bw, bh = rng.uniform(0.15, 0.35, 2)
-                placements.append((cx, cy, bw, bh))
-        for (cx, cy, bw, bh) in placements:
-            cls = int(rng.integers(0, NUM_CLASSES))
-            x1, y1 = int((cx - bw / 2) * w), int((cy - bh / 2) * h)
-            x2, y2 = int((cx + bw / 2) * w), int((cy + bh / 2) * h)
-            cv2.rectangle(img, (x1, y1), (x2, y2), COLORS[cls], -1)
-            lines.append(f"{cls} {cx:.6f} {cy:.6f} {bw:.6f} {bh:.6f}")
-        cv2.imwrite(os.path.join(img_dir, f"im{i}.jpg"), img)
-        with open(os.path.join(lab_dir, f"im{i}.txt"), "w") as f:
-            f.write("\n".join(lines) + "\n")
-    return img_dir
 
 
 def eval_ours(model_yaml: str, params, stats, val_path: str, img_size: int,
