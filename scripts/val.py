@@ -62,11 +62,8 @@ def main() -> None:
     if args.data_parallel:
         from yolo_re_tpu.parallel.mesh import make_mesh
         mesh = make_mesh()
-        if args.fuse:
-            # pallas_call has no SPMD partitioning rule; the fused fast
-            # paths key off these param entries (serving.py does the same)
-            from yolo_re_tpu.serving import _strip_pallas
-            params, stats = _strip_pallas(params), _strip_pallas(stats)
+        # the fused Pallas fast paths stay in the sharded program: every
+        # kernel is shard_mapped over the data axis (parallel/spmd.py)
 
     data = DataConfig(
         train_path=args.data, val_path=args.data,

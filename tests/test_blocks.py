@@ -562,13 +562,22 @@ def test_stem_train_gates():
             x = jax.random.normal(jax.random.key(5), (2, 16, 24, 3),
                                   jnp.bfloat16)
             B.Conv.apply(cfg80, p80, s80, x, train=True)
-    # mesh guard disables even where the backend would allow it
-    stem_train.set_mesh_guard(True)
-    try:
-        assert not stem_train.stem_train_enabled()
-    finally:
-        stem_train.set_mesh_guard(False)
+    # no mesh guard anymore: the kernel is shard_mapped under a mesh
+    # (parallel/spmd.py); only the env kill switch disables it, and the
+    # batch gate reads the PER-DEVICE shard size.
     assert stem_train.stem_train_enabled()
+    with mock.patch.dict("os.environ", {"YOLO_TPU_STEM_TRAIN": "0"}):
+        assert not stem_train.stem_train_enabled()
+    from yolo_re_tpu.parallel import spmd
+    from yolo_re_tpu.parallel.mesh import make_mesh
+
+    # per_device_batch under an active mesh: 16 over 8 devices -> 2;
+    # non-divisible -> None (gate falls through to the XLA path)
+    if len(jax.devices()) >= 8:
+        with spmd.use_mesh(make_mesh(8)):
+            assert spmd.per_device_batch(16) == 2
+            assert spmd.per_device_batch(12) is None
+    assert spmd.per_device_batch(16) == 16
     # normally-shaped train conv does not take the packed-consumer path
     cfg2 = B.ConvConfig(64, 128, kernel_size=3, stride=2)
     p2, s2 = B.Conv.init(jax.random.key(2), cfg2)

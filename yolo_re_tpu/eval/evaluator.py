@@ -11,8 +11,9 @@ Reference: src/yolo/eval/evaluator.py. Differences for TPU:
   batch padded to a device multiple and the padding sliced off on the
   host) so validation during data-parallel training uses every chip
   instead of one — the same GSPMD pattern as serving.Detector(mesh=...).
-  The NMS backend is forced to "xla" under a mesh (the Pallas kernel has
-  no SPMD partitioning rule).
+  The Pallas NMS backend stays available under a mesh: the kernel is
+  shard_mapped over the data axis (parallel/spmd.py), so each device
+  suppresses its own batch shard.
 """
 
 from __future__ import annotations
@@ -65,19 +66,29 @@ class Evaluator:
         @jax.jit
         def _step(params, stats, images):
             """normalize -> forward -> decode -> NMS, one program. Under a
-            mesh GSPMD partitions it across the batch axis; the padded-NMS
-            dict is the only thing that crosses back to the host."""
-            if images.dtype == jnp.uint8:
-                x = images.astype(dtype) / 255.0
-            else:
-                x = images.astype(dtype)
-            decoded, _ = self.model.predict(params, stats, x)
-            if isinstance(decoded, dict):  # dual head: evaluate main branch
-                decoded = decoded["main"]  # (reference: evaluator.py:105-113)
-            return non_max_suppression(
-                decoded, conf_thres=self.conf_thres, iou_thres=self.iou_thres,
-                max_det=self.max_det,
-                backend="xla" if self.mesh is not None else "auto")
+            mesh GSPMD partitions it across the batch axis (the Pallas fast
+            paths are shard_mapped per device — parallel/spmd.py); the
+            padded-NMS dict is the only thing that crosses back to the
+            host."""
+            from yolo_re_tpu.parallel.spmd import use_mesh
+
+            with use_mesh(self.mesh):
+                if images.dtype == jnp.uint8:
+                    x = images.astype(dtype) / 255.0
+                else:
+                    x = images.astype(dtype)
+                # model.apply (not .predict): predict's inner jit caches
+                # its traced body on shapes alone, so a program traced
+                # under one mesh state could be reused under another;
+                # apply re-traces with this outer program every time.
+                (decoded, _), _ = self.model.apply(params, stats, x,
+                                                   train=False)
+                if isinstance(decoded, dict):  # dual head: main branch
+                    decoded = decoded["main"]  # (ref: evaluator.py:105-113)
+                return non_max_suppression(
+                    decoded, conf_thres=self.conf_thres,
+                    iou_thres=self.iou_thres, max_det=self.max_det,
+                    mesh=self.mesh)
 
         self._step = _step
 

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any
 
 import jax
@@ -87,14 +88,24 @@ class Conv:
 
     @staticmethod
     def apply(cfg: ConvConfig, params, stats, x, *, train=False):
+        from yolo_re_tpu.parallel.spmd import (
+            pallas_interpret,
+            pallas_supported,
+            per_device_batch,
+        )
+
         if (train and x.dtype == jnp.bfloat16
                 and cfg.in_channels == 3 and cfg.kernel_size == 3
                 and cfg.stride == 2 and cfg.groups == 1
                 and cfg.dilation == 1 and cfg.padding in (None, 1)
                 and cfg.activation == "silu"
                 and cfg.out_channels % 64 == 0
-                and jax.default_backend() == "tpu"
-                and x.shape[0] <= 64 and x.shape[1] % 4 == 0
+                and pallas_supported()
+                # batch gate reads the PER-DEVICE shard under a mesh (the
+                # win is decided by what each chip sees, not the global
+                # batch); the kernel itself is shard_mapped in stem_train.
+                and (per_device_batch(x.shape[0]) or 65) <= 64
+                and x.shape[1] % 4 == 0
                 and x.shape[2] % 2 == 0):
             from yolo_re_tpu.ops.stem_train import (
                 stem1_conv_train,
@@ -112,7 +123,8 @@ class Conv:
                 # 128-lane tiles — gelan-e's 80ch stem (160 lanes)
                 # measured 92.9 -> 88.6 img/s with the kernel and is
                 # gated back to XLA.
-                return stem1_conv_train(cfg, params, stats, x)
+                return stem1_conv_train(cfg, params, stats, x,
+                                        interpret=pallas_interpret())
         if (train and x.dtype == jnp.bfloat16
                 and x.shape[-1] == 2 * cfg.in_channels
                 and cfg.kernel_size == 3 and cfg.stride == 2
@@ -140,13 +152,19 @@ class Conv:
             # batch 128/640px; e2e 885 vs 926 img/s) — take the kernel
             # only at batch <= 64. At 320px the kernel itself is neutral
             # (1.29 vs 1.27 ms) but the packed stem2 still wins, so no
-            # size gate (e2e 320px: 2607 on vs 2561 off).
-            if (jax.default_backend() == "tpu" and x.shape[1] % 4 == 0
-                    and x.shape[2] % 2 == 0 and x.shape[0] <= 64):
+            # size gate (e2e 320px: 2607 on vs 2561 off). Batch gate reads
+            # the per-device shard; the kernel is shard_mapped under a mesh.
+            if (pallas_supported() and x.shape[1] % 4 == 0
+                    and x.shape[2] % 2 == 0
+                    and (per_device_batch(x.shape[0]) or 65) <= 64):
                 from yolo_re_tpu.ops.pallas.stem_kernel import (
                     stem_conv_packed,
                 )
-                return stem_conv_packed(x, params["pallas_stem"]), stats
+                from yolo_re_tpu.parallel.spmd import shard_batchwise
+
+                return shard_batchwise(
+                    partial(stem_conv_packed, interpret=pallas_interpret()),
+                    x, params["pallas_stem"]), stats
         if (not train and "packed_rows" in params
                 and x.shape[-1] == 2 * cfg.in_channels):
             # Consume the stem kernel's row-paired packed output: the
@@ -535,13 +553,22 @@ class ADown:
         if (not train and "pallas" in params
                 and x.shape[-1] == 2 * cfg.in_channels):
             # Producer emitted the width-packed layout (models/fuse.py
-            # post-pass). On TPU run the fused Pallas kernel; elsewhere
-            # un-pack (bitwise view) and take the regular graph.
-            if jax.default_backend() == "tpu":
+            # post-pass). On TPU run the fused Pallas kernel (shard_mapped
+            # per-device under a mesh); elsewhere un-pack (bitwise view)
+            # and take the regular graph.
+            from yolo_re_tpu.parallel.spmd import (
+                pallas_interpret,
+                pallas_supported,
+                shard_batchwise,
+            )
+
+            if pallas_supported():
                 from yolo_re_tpu.ops.pallas.adown_kernel import (
                     adown_from_packed,
                 )
-                return adown_from_packed(x, params["pallas"]), stats
+                return shard_batchwise(
+                    partial(adown_from_packed, interpret=pallas_interpret()),
+                    x, params["pallas"]), stats
             b_, h_, wp_, c2 = x.shape
             x = x.reshape(b_, h_, wp_ * 2, c2 // 2)
         cs, cp = ADown._sub(cfg)

@@ -63,14 +63,10 @@ __all__ = ["apply_adown_train", "adown_train_supported",
 
 def adown_train_enabled() -> bool:
     """Trace-time OPT-IN switch (default OFF — the kernel pair measured a
-    -6.4% e2e regression, see module docstring) + the shared GSPMD mesh
-    guard."""
+    -6.4% e2e regression, see module docstring). Mesh-sharded steps keep
+    the kernels via shard_map (parallel/spmd.py), like the stem path."""
     import os
 
-    from yolo_re_tpu.ops import stem_train
-
-    if stem_train._MESH_GUARD:
-        return False
     return os.environ.get("YOLO_TPU_ADOWN_TRAIN") == "1"
 
 
@@ -111,13 +107,17 @@ def _pack_wk(w1q: jax.Array) -> jax.Array:
 def _adown_conv(xp, w1, w2, interpret):
     """Pre-BN packed ADown: xp (B, H, Wp, 2C) -> (B, H/2, Wp, C),
     lanes [branch1 | branch2]. w1 (3, 3, C/2, C/2) raw HWIO,
-    w2 (1, 1, C/2, C/2) raw."""
-    w1q = w1 * 0.25
-    w2q = w2[0, 0] * 0.25
-    z = jnp.zeros((1, w1.shape[-1]), jnp.float32)
-    return adown_from_packed(
-        xp, {"wk": _pack_wk(w1q), "b1": z, "w2": w2q, "b2": z},
-        raw=True, interpret=interpret)
+    w2 (1, 1, C/2, C/2) raw. Under an active mesh the pallas_call runs
+    per-device on the batch shard (shard_map, parallel/spmd.py)."""
+    from yolo_re_tpu.parallel.spmd import shard_batchwise
+
+    def fwd(xp_, wk, w2q):
+        z = jnp.zeros((1, w2q.shape[-1]), jnp.float32)
+        return adown_from_packed(
+            xp_, {"wk": wk, "b1": z, "w2": w2q, "b2": z},
+            raw=True, interpret=interpret)
+
+    return shard_batchwise(fwd, xp, _pack_wk(w1 * 0.25), w2[0, 0] * 0.25)
 
 
 def _adown_conv_fwd(xp, w1, w2, interpret):
@@ -128,8 +128,29 @@ def _adown_conv_bwd(interpret, res, g):
     xp, w1, w2 = res
     w1q = (w1 * 0.25).astype(xp.dtype)
     w2q = (w2[0, 0] * 0.25).astype(xp.dtype)
-    dx, dwq1, dwq2 = adown_bwd_from_packed(xp, g, w1q, w2q,
-                                           interpret=interpret)
+    from jax.sharding import PartitionSpec as P
+
+    from yolo_re_tpu.parallel.mesh import DATA_AXIS
+    from yolo_re_tpu.parallel.spmd import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None or mesh.size == 1:
+        dx, dwq1, dwq2 = adown_bwd_from_packed(xp, g, w1q, w2q,
+                                               interpret=interpret)
+    else:
+        # Per-shard backward kernel; the replicated weights' cotangents
+        # are the psum of the per-device sums (see stem_train's bwd).
+        def bwd(xp_, g_, w1q_, w2q_):
+            dx_, d1, d2 = adown_bwd_from_packed(xp_, g_, w1q_, w2q_,
+                                                interpret=interpret)
+            return (dx_, jax.lax.psum(d1, DATA_AXIS),
+                    jax.lax.psum(d2, DATA_AXIS))
+
+        dx, dwq1, dwq2 = jax.shard_map(
+            bwd, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P()),
+            out_specs=(P(DATA_AXIS), P(), P()),
+            check_vma=False)(xp, g, w1q, w2q)
     half = w1.shape[-1]
     dw1 = (dwq1.reshape(3, 3, half, half) * 0.25).astype(w1.dtype)
     dw2 = (dwq2[None, None] * 0.25).astype(w2.dtype)

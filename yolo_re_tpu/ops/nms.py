@@ -95,7 +95,7 @@ def _default_backend(k: int) -> str:
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det",
                                    "pre_topk", "agnostic", "backend",
-                                   "classes"))
+                                   "classes", "mesh"))
 def non_max_suppression(
     predictions: jax.Array,
     conf_thres: float = 0.25,
@@ -105,6 +105,7 @@ def non_max_suppression(
     agnostic: bool = False,
     backend: str = "auto",
     classes: tuple[int, ...] | None = None,
+    mesh=None,
 ) -> dict[str, jax.Array]:
     """Batched NMS over (B, A, 4 + num_classes) decoded predictions.
 
@@ -160,17 +161,24 @@ def non_max_suppression(
 
     boxes, boxes_off, conf_k, cls_k = jax.vmap(preselect)(predictions)
     return _suppress(boxes, boxes_off, conf_k, cls_k,
-                     iou_thres=iou_thres, max_det=max_det, backend=backend)
+                     iou_thres=iou_thres, max_det=max_det, backend=backend,
+                     mesh=mesh)
 
 
 def _suppress(boxes, boxes_off, conf_k, cls_k, *, iou_thres, max_det,
-              backend) -> dict[str, jax.Array]:
+              backend, mesh=None) -> dict[str, jax.Array]:
     """Shared greedy-suppression backend over preselected candidates."""
     if backend == "pallas":
         from yolo_re_tpu.ops.pallas.nms_kernel import pallas_nms_select
+        from yolo_re_tpu.parallel.spmd import shard_batchwise
 
-        sel_idx = pallas_nms_select(boxes_off, conf_k, iou_thres=iou_thres,
-                                    max_det=max_det)          # (B, max_det)
+        # per-image kernel: under an active mesh it runs on each device's
+        # batch shard (shard_map) instead of being stripped/forced to xla.
+        sel_idx = shard_batchwise(
+            partial(pallas_nms_select, iou_thres=iou_thres,
+                    max_det=max_det),
+            boxes_off, conf_k, batch_argnums=(0, 1),
+            mesh=mesh)                                        # (B, max_det)
         valid = sel_idx >= 0
         gather = jnp.clip(sel_idx, 0, None)
         out_boxes = jnp.take_along_axis(boxes, gather[..., None], axis=1)
@@ -194,7 +202,7 @@ def _suppress(boxes, boxes_off, conf_k, cls_k, *, iou_thres, max_det,
 
 @partial(jax.jit, static_argnames=("reg_max", "conf_thres", "iou_thres",
                                    "max_det", "pre_topk", "agnostic",
-                                   "backend", "classes"))
+                                   "backend", "classes", "mesh"))
 def non_max_suppression_raw(
     box_logits: jax.Array,      # (B, A, 4*reg_max) raw DFL logits
     cls_logits: jax.Array,      # (B, A, nc) raw class logits
@@ -208,6 +216,7 @@ def non_max_suppression_raw(
     agnostic: bool = False,
     backend: str = "auto",
     classes: tuple[int, ...] | None = None,
+    mesh=None,
 ) -> dict[str, jax.Array]:
     """NMS straight from the raw head streams, with LAZY box decode.
 
@@ -256,7 +265,8 @@ def non_max_suppression_raw(
     boxes, boxes_off, conf_k, cls_k = jax.vmap(preselect)(box_logits,
                                                           cls_logits)
     return _suppress(boxes, boxes_off, conf_k, cls_k,
-                     iou_thres=iou_thres, max_det=max_det, backend=backend)
+                     iou_thres=iou_thres, max_det=max_det, backend=backend,
+                     mesh=mesh)
 
 
 def nms_to_list(out: dict[str, jax.Array]):
