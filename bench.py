@@ -62,8 +62,16 @@ BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 SIZE = int(os.environ.get("BENCH_SIZE", "640"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MODEL = os.environ.get("BENCH_MODEL", "gelan-c")
-# fused_loop | dispatch | train | serving | latency
+# fused_loop | dispatch | train | serving | latency | eval
 MODE = os.environ.get("BENCH_MODE", "fused_loop")
+# eval mode = the mAP-eval stack: ALL-anchor NMS at the reference's
+# validation thresholds (conf 0.001 / iou 0.6 — eval/evaluator.py), vs the
+# serving thresholds' 512-candidate preselection. BENCH_NMS_BACKEND
+# overrides the K-dependent backend choice for A/Bs at K = all anchors.
+CONF = float(os.environ.get("BENCH_CONF",
+                            "0.001" if MODE == "eval" else "0.25"))
+IOU = float(os.environ.get("BENCH_IOU", "0.6" if MODE == "eval" else "0.45"))
+NMS_BACKEND = os.environ.get("BENCH_NMS_BACKEND", "auto")
 _R = os.environ.get("BENCH_REMAT", "0")   # train: 1=full, early=selective
 REMAT = "early" if _R == "early" else (_R == "1")
 
@@ -220,7 +228,8 @@ def main() -> None:
         (decoded, _), _ = model.apply(params, stats, images, train=False)
         if isinstance(decoded, dict):  # dual head: serve the main branch
             decoded = decoded["main"]
-        out = non_max_suppression(decoded, conf_thres=0.25, iou_thres=0.45)
+        out = non_max_suppression(decoded, conf_thres=CONF, iou_thres=IOU,
+                                  backend=NMS_BACKEND)
         return out
 
     rng = np.random.default_rng(0)
@@ -283,8 +292,10 @@ def main() -> None:
             "mfu": mfu,
         }))
         return
+    kind = ("eval-stack (all-anchor NMS conf 1e-3)" if MODE == "eval"
+            else "inference")
     print(json.dumps({
-        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} inference incl. NMS "
+        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} {kind} incl. NMS "
                   f"({jax.devices()[0].platform})",
         "value": round(images_per_sec, 2),
         "unit": "images/sec",

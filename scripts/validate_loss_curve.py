@@ -41,6 +41,13 @@ NUM_CLASSES = 4
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["tiny", "tiny-dual"],
+                    default="tiny",
+                    help="tiny-dual: yolov9-style aux branch + "
+                         "DualDetectDFL (aux loss x0.25, two assigner "
+                         "passes) — the reference's dual path via its "
+                         "well-defined TALoss._forward_dual (its Trainer "
+                         "mis-dispatches dual outputs, SURVEY 2.4.1)")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--size", type=int, default=96)
     ap.add_argument("--batch", type=int, default=2)
@@ -48,8 +55,13 @@ def main() -> None:
     ap.add_argument("--rtol", type=float, default=0.02)
     args = ap.parse_args()
 
-    from validate_eval_parity import TINY_YAML
     from validate_training_parity import stub_albumentations
+
+    from yolo_re_tpu.data.synth import TINY_DUAL_YAML, TINY_YAML
+
+    dual = args.model == "tiny-dual"
+    yaml_text = TINY_DUAL_YAML if dual else TINY_YAML
+    ncls = 8 if dual else NUM_CLASSES
 
     sys.path.insert(0, os.path.join(REFERENCE, "src"))
     stub_albumentations()
@@ -69,7 +81,7 @@ def main() -> None:
     )
 
     with tempfile.NamedTemporaryFile("w", suffix=".yaml", delete=False) as f:
-        f.write(TINY_YAML)
+        f.write(yaml_text)
         yaml_path = f.name
 
     torch.manual_seed(42)
@@ -89,7 +101,7 @@ def main() -> None:
         tj = np.zeros((args.batch, 4, 5), np.float32)
         for i in range(args.batch):
             for j in range(2):
-                cls = int(rng.integers(0, NUM_CLASSES))
+                cls = int(rng.integers(0, ncls))
                 cx, cy = rng.uniform(0.3, 0.7, 2)
                 bw, bh = rng.uniform(0.2, 0.4, 2)
                 rows.append([i, cls, cx, cy, bw, bh])
@@ -99,21 +111,29 @@ def main() -> None:
     mom, wd, clip = 0.937, 0.0005, 10.0
 
     # ---- torch run ---------------------------------------------------------
-    tloss = TorchTALoss(NUM_CLASSES, 16, [8, 16, 32])
+    tloss = TorchTALoss(ncls, 16, [8, 16, 32])
     opt = torch.optim.SGD(tmodel.optim_groups(wd), lr=args.lr, momentum=mom)
     curve_t = []
     for s in range(args.steps):
         images, rows, _ = batches[s % 3]
         opt.zero_grad()
-        total, items = tloss(tmodel(torch.from_numpy(images)),
-                             torch.from_numpy(rows))
+        out = tmodel(torch.from_numpy(images))
+        if dual:
+            # DualDetectDFL train output is [aux_preds, main_preds]; the
+            # reference Trainer mis-dispatches it (SURVEY 2.4.1) but
+            # TALoss._forward_dual itself is well-defined — call it the
+            # way the fixed dispatch would.
+            total, items = tloss._forward_dual((None, (out[0], out[1])),
+                                               torch.from_numpy(rows))
+        else:
+            total, items = tloss(out, torch.from_numpy(rows))
         total.backward()
         torch.nn.utils.clip_grad_norm_(tmodel.parameters(), clip)
         opt.step()
         curve_t.append(float(total))
 
     # ---- ours --------------------------------------------------------------
-    jloss = TALoss(NUM_CLASSES, 16, (8, 16, 32))
+    jloss = TALoss(ncls, 16, (8, 16, 32))
     labels = param_labels(params)
     bufs = init_sgd_state(params)
 

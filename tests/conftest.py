@@ -142,50 +142,8 @@ def synthetic_dataset(tmp_path_factory):
     return str(img_dir)
 
 
-TINY_DUAL_YAML = """
-model:
-  num_classes: 8
-layers:
-  - {name: input_silence, type: Silence, from: input}
-  - {name: stem1, type: Conv, out_channels: 16, kernel_size: 3, stride: 2}
-  - {name: stem2, type: Conv, out_channels: 32, kernel_size: 3, stride: 2}
-  - {name: stage1, type: RepNCSPELAN4, out_channels: 32, hidden_channels: 32, block_channels: 16, num_repeats: 1}
-  - {name: down1, type: ADown, out_channels: 32}
-  - {name: stage2, type: RepNCSPELAN4, out_channels: 48, hidden_channels: 48, block_channels: 24, num_repeats: 1}
-  - {name: down2, type: ADown, out_channels: 48}
-  - {name: stage3, type: RepNCSPELAN4, out_channels: 64, hidden_channels: 64, block_channels: 32, num_repeats: 1}
-  - {name: down3, type: ADown, out_channels: 64}
-  - {name: stage4, type: RepNCSPELAN4, out_channels: 64, hidden_channels: 64, block_channels: 32, num_repeats: 1}
-  - {name: spp, type: SPPELAN, out_channels: 64, hidden_channels: 32}
-  - {name: up1, type: Upsample, scale_factor: 2}
-  - {name: concat1, type: Concat, from: [up1, stage3]}
-  - {name: fpn1, type: RepNCSPELAN4, out_channels: 48, hidden_channels: 48, block_channels: 24, num_repeats: 1}
-  - {name: up2, type: Upsample, scale_factor: 2}
-  - {name: concat2, type: Concat, from: [up2, stage2]}
-  - {name: fpn2, type: RepNCSPELAN4, out_channels: 32, hidden_channels: 32, block_channels: 16, num_repeats: 1}
-  - {name: pan_down1, type: ADown, out_channels: 32}
-  - {name: concat3, type: Concat, from: [pan_down1, fpn1]}
-  - {name: pan1, type: RepNCSPELAN4, out_channels: 48, hidden_channels: 48, block_channels: 24, num_repeats: 1}
-  - {name: pan_down2, type: ADown, out_channels: 48}
-  - {name: concat4, type: Concat, from: [pan_down2, spp]}
-  - {name: pan2, type: RepNCSPELAN4, out_channels: 64, hidden_channels: 64, block_channels: 32, num_repeats: 1}
-  - {name: cb_route1, type: CBLinear, from: stage2, out_channels_list: [32]}
-  - {name: cb_route2, type: CBLinear, from: stage3, out_channels_list: [32, 48]}
-  - {name: cb_route3, type: CBLinear, from: stage4, out_channels_list: [32, 48, 64]}
-  - {name: aux_stem1, type: Conv, from: input_silence, out_channels: 16, kernel_size: 3, stride: 2}
-  - {name: aux_stem2, type: Conv, out_channels: 32, kernel_size: 3, stride: 2}
-  - {name: aux_stage1, type: RepNCSPELAN4, out_channels: 32, hidden_channels: 32, block_channels: 16, num_repeats: 1}
-  - {name: aux_down1, type: ADown, out_channels: 32}
-  - {name: aux_fuse1, type: CBFuse, from: [cb_route1, cb_route2, cb_route3, aux_down1], idx: [0, 0, 0]}
-  - {name: aux_stage2, type: RepNCSPELAN4, out_channels: 48, hidden_channels: 48, block_channels: 24, num_repeats: 1}
-  - {name: aux_down2, type: ADown, out_channels: 48}
-  - {name: aux_fuse2, type: CBFuse, from: [cb_route2, cb_route3, aux_down2], idx: [1, 1]}
-  - {name: aux_stage3, type: RepNCSPELAN4, out_channels: 48, hidden_channels: 48, block_channels: 24, num_repeats: 1}
-  - {name: aux_down3, type: ADown, out_channels: 64}
-  - {name: aux_fuse3, type: CBFuse, from: [cb_route3, aux_down3], idx: [2]}
-  - {name: aux_stage4, type: RepNCSPELAN4, out_channels: 64, hidden_channels: 64, block_channels: 32, num_repeats: 1}
-  - {name: detect, type: DualDetectDFL, from: [aux_stage2, aux_stage3, aux_stage4, fpn2, pan1, pan2]}
-"""
+from yolo_re_tpu.data.synth import TINY_DUAL_YAML  # noqa: E402
+
 
 
 @pytest.fixture(scope="session")

@@ -162,7 +162,8 @@ def _assemble_p2(scratch, slot, *, to: int, wp: int):
 
 
 def _kernel(xt_hbm, w2_ref, b2_ref, out_ref, scratch, sem, *, to: int,
-            wo: int, wp: int, cout: int, nj: int, act: bool):
+            wo: int, wp: int, cout: int, nj: int, act: bool,
+            bf16_epi: bool):
     slot = _dma_phase(xt_hbm, scratch, sem, to=to, nj=nj)
     p2 = _assemble_p2(scratch, slot, to=to, wp=wp)
     # ONE (to/2, 64, wp) x (64, 2*cout) MXU dot per row-pair block.
@@ -171,9 +172,17 @@ def _kernel(xt_hbm, w2_ref, b2_ref, out_ref, scratch, sem, *, to: int,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (to/2, wp, 2*cout)
     y = acc + b2_ref[:]
-    if act:
-        y = y * jax.nn.sigmoid(y)
-    out_ref[0] = y[:, :wo].astype(out_ref.dtype)
+    if act and bf16_epi:
+        # bf16 SiLU epilogue: halve the VPU elementwise work (the f32
+        # epilogue was the headroom-table gap to the pair floor). Diverges
+        # from the XLA f32-epilogue numerics by <= ~1 bf16 ulp — gated by
+        # YOLO_TPU_STEM_BF16_EPI and only for bf16 outputs.
+        y = y[:, :wo].astype(out_ref.dtype)
+        out_ref[0] = y * jax.nn.sigmoid(y)
+    else:
+        if act:
+            y = y * jax.nn.sigmoid(y)
+        out_ref[0] = y[:, :wo].astype(out_ref.dtype)
 
 
 def _wgrad_kernel(xt_hbm, g_ref, out_ref, scratch, acc_ref, sem, *,
@@ -240,12 +249,16 @@ def to_phase_planes(x: jax.Array) -> jax.Array:
 
 def _stem_pallas(xt, w2, b2, *, ho: int, wo: int, act: bool, dtype,
                  interpret: bool = False):
+    import os
+
     wp = xt.shape[-1]
     cout = w2.shape[1] // 2
     to = _block_rows(ho)
     B = xt.shape[0]
+    bf16_epi = (dtype == jnp.bfloat16
+                and os.environ.get("YOLO_TPU_STEM_BF16_EPI", "0") == "1")
     kernel = partial(_kernel, to=to, wo=wo, wp=wp, cout=cout,
-                     nj=ho // to, act=act)
+                     nj=ho // to, act=act, bf16_epi=bf16_epi)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, ho // 2, wo, 2 * cout), dtype),
