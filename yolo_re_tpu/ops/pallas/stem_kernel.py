@@ -171,18 +171,21 @@ def _kernel(xt_hbm, w2_ref, b2_ref, out_ref, scratch, sem, *, to: int,
         p2, w2_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)              # (to/2, wp, 2*cout)
-    y = acc + b2_ref[:]
-    if act and bf16_epi:
-        # bf16 SiLU epilogue: halve the VPU elementwise work (the f32
-        # epilogue was the headroom-table gap to the pair floor). Diverges
-        # from the XLA f32-epilogue numerics by <= ~1 bf16 ulp — gated by
-        # YOLO_TPU_STEM_BF16_EPI and only for bf16 outputs.
-        y = y[:, :wo].astype(out_ref.dtype)
-        out_ref[0] = y * jax.nn.sigmoid(y)
-    else:
-        if act:
-            y = y * jax.nn.sigmoid(y)
-        out_ref[0] = y[:, :wo].astype(out_ref.dtype)
+    # slice the lane padding off BEFORE the epilogue: the bias/SiLU VPU
+    # work runs on wo lanes instead of wp (wp-wo = 64 padding lanes at
+    # 640px, ~17% of the epilogue); identical values for the kept lanes.
+    y = acc[:, :wo] + b2_ref[:]
+    if act:
+        s = jax.nn.sigmoid(y)            # exp is f32-only on the VPU
+        if bf16_epi:
+            # bf16 final multiply (YOLO_TPU_STEM_BF16_EPI=1): <= ~1 bf16
+            # ulp vs the f32 multiply-then-cast. NOTE a fully-bf16 SiLU
+            # (jax.nn.sigmoid on bf16) trips a Mosaic verifier bug
+            # (vector.broadcast f32->bf16) — keep the sigmoid f32.
+            out_ref[0] = y.astype(out_ref.dtype) * s.astype(out_ref.dtype)
+            return
+        y = y * s
+    out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _wgrad_kernel(xt_hbm, g_ref, out_ref, scratch, acc_ref, sem, *,
