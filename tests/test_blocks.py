@@ -587,3 +587,96 @@ def test_stem_train_gates():
         y = jax.random.normal(jax.random.key(3), (2, 8, 12, 64),
                               jnp.bfloat16)
         B.Conv.apply(cfg2, p2, s2, y, train=True)
+
+
+def test_csp_chain_kernel_matches_packed_loop():
+    """The VMEM-fused bottleneck chain (ops/pallas/csp_chain_kernel.py,
+    interpret mode on CPU) must equal the per-conv packed XLA loop it
+    replaces (ops/packed_elan.py csp interior), including the image edge
+    rows (out-of-image conv outputs re-zeroed) and the residual adds."""
+    from yolo_re_tpu.models.fuse import _fuse
+    from yolo_re_tpu.ops import packed_elan as pe
+    from yolo_re_tpu.ops.pallas.csp_chain_kernel import (
+        bottleneck_chain,
+        build_bottleneck_chain_weights,
+        supports_chain,
+    )
+
+    # (num_repeats, m shape): n=1 exercises the single-block DMA arm,
+    # n=2 + H=48 exercises first/middle/last row blocks (to=16, nj=3)
+    for n, shape in ((1, (1, 16, 8, 128)), (2, (2, 48, 8, 128))):
+        cfg = B.RepNCSPConfig(64, 64, num_repeats=n)
+        p, s = B.RepNCSP.init(jax.random.key(20 + n), cfg)
+        fp, _ = _fuse(B.RepNCSP, cfg, p, s)
+        assert supports_chain(shape[1], shape[2], n)
+
+        m = jax.random.normal(jax.random.key(30 + n), shape)
+
+        # reference: the packed XLA per-conv loop over the same weights
+        bots = []
+        for bot in fp["bottlenecks"]:
+            rw = np.asarray(bot["conv1"]["fused"]["w"], np.float32)
+            rb = np.asarray(bot["conv1"]["fused"]["b"], np.float32)
+            cw = np.asarray(bot["conv2"]["w"], np.float32)
+            cb = np.asarray(bot["conv2"]["b"], np.float32)
+            bots.append({
+                "rep": {"w": jnp.asarray(pe._pack_same(rw, 4)),
+                        "b": jnp.asarray(np.tile(rb, 4))},
+                "conv": {"w": jnp.asarray(pe._pack_same(cw, 4)),
+                         "b": jnp.asarray(np.tile(cb, 4))},
+            })
+        r_ref = m
+        for bot in bots:
+            t = pe._pconv(r_ref, bot["rep"])
+            t = pe._pconv(t, bot["conv"])
+            r_ref = r_ref + t
+
+        weights = build_bottleneck_chain_weights(fp)
+        r_pal = bottleneck_chain(m, weights, interpret=True)
+        assert r_pal.shape == r_ref.shape
+        np.testing.assert_allclose(np.asarray(r_pal), np.asarray(r_ref),
+                                   atol=2e-5)
+
+
+def test_packed_elan_engages_chain(monkeypatch):
+    """apply_packed_elan must route the bottlenecks through the Pallas
+    chain when the geometry qualifies (and still match the plain fused
+    graph); YOLO_TPU_CSP_CHAIN=0 kills it."""
+    from unittest import mock
+
+    from yolo_re_tpu.models.fuse import _fuse
+
+    monkeypatch.setenv("YOLO_TPU_PALLAS_INTERPRET", "1")
+    cfg = B.RepNCSPELAN4Config(96, 256, hidden_channels=128,
+                               block_channels=64, num_repeats=2)
+    params, stats = B.RepNCSPELAN4.init(jax.random.key(40), cfg)
+    fp, fs = _fuse(B.RepNCSPELAN4, cfg, params, stats)
+    assert "chain" in fp["packed"]["csp1"]
+
+    # W=32 -> wq=8 (chain engages); count engagements via the kernel fn
+    x = jax.random.normal(jax.random.key(41), (2, 8, 32, 96))
+    from yolo_re_tpu.ops.pallas import csp_chain_kernel as ck
+    calls = []
+    orig = ck.bottleneck_chain
+
+    def spy(m, weights, **kw):
+        calls.append(m.shape)
+        return orig(m, weights, **kw)
+
+    with mock.patch.object(ck, "bottleneck_chain", side_effect=spy):
+        y_chain, _ = B.RepNCSPELAN4.apply(cfg, fp, fs, x, train=False)
+    assert calls == [(2, 8, 8, 128), (2, 8, 8, 128)]
+
+    y_plain, _ = B.RepNCSPELAN4.apply(
+        cfg, {k: v for k, v in fp.items() if k != "packed"}, fs, x,
+        train=False)
+    np.testing.assert_allclose(np.asarray(y_chain), np.asarray(y_plain),
+                               atol=2e-5)
+
+    # kill switch: no Pallas call, same numbers
+    monkeypatch.setenv("YOLO_TPU_CSP_CHAIN", "0")
+    with mock.patch.object(ck, "bottleneck_chain",
+                           side_effect=AssertionError("must not engage")):
+        y_off, _ = B.RepNCSPELAN4.apply(cfg, fp, fs, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_off), np.asarray(y_chain),
+                               atol=2e-5)

@@ -141,6 +141,13 @@ def build_packed_elan(fused: Params) -> Params:
                 "conv": {"w": _pack_same(cw, 4), "b": np.tile(cb, 4)},
             })
         out["bottlenecks"] = bots
+        # Pallas fused bottleneck chain (ops/pallas/csp_chain_kernel.py):
+        # the same (rep -> conv -> +residual) sequence with every
+        # intermediate in VMEM; engaged at apply time when the geometry
+        # qualifies (wq % 8, TPU), else the XLA loop above runs.
+        from yolo_re_tpu.ops.pallas.csp_chain_kernel import (
+            build_bottleneck_chain_weights)
+        out["chain"] = build_bottleneck_chain_weights(C)
         # conv3 reads concat([m (p=4-packed 32ch), y2 (p=4-packed 32ch)])
         # = 256 lanes [m_q0..q3 | y2_q0..q3]; emits p=4-packed 64ch.
         w3, b3 = wb(C["conv3"])
@@ -196,6 +203,41 @@ def _pconv(x, p, *, stride_w=1):
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
 
 
+def _chain_enabled() -> bool:
+    import os
+
+    return os.environ.get("YOLO_TPU_CSP_CHAIN", "1") == "1"
+
+
+def _bottlenecks(m: jax.Array, C: Params) -> jax.Array:
+    """The CSP bottleneck sequence on the p=4 packed layout: the Pallas
+    VMEM-fused chain when the geometry/backend qualify (shard_mapped
+    per-device under a mesh), else the per-conv XLA loop."""
+    if "chain" in C and _chain_enabled():
+        from functools import partial
+
+        from yolo_re_tpu.ops.pallas.csp_chain_kernel import (
+            bottleneck_chain,
+            supports_chain,
+        )
+        from yolo_re_tpu.parallel.spmd import (
+            pallas_interpret,
+            pallas_supported,
+            shard_batchwise,
+        )
+        n = C["chain"]["wm"].shape[0]
+        if pallas_supported() and supports_chain(m.shape[1], m.shape[2], n):
+            return shard_batchwise(
+                partial(bottleneck_chain, interpret=pallas_interpret()),
+                m, C["chain"])
+    r = m
+    for bot in C["bottlenecks"]:
+        t = _pconv(r, bot["rep"])
+        t = _pconv(t, bot["conv"])
+        r = r + t                                   # shortcut (32->32)
+    return r
+
+
 def apply_packed_elan(packed: Params, x: jax.Array, out_channels: int):
     """x: (B, H, W, cin) with W % 4 == 0 -> (B, H, W, out_channels).
 
@@ -211,11 +253,7 @@ def apply_packed_elan(packed: Params, x: jax.Array, out_channels: int):
 
     def csp(z, C):
         m = _pconv(z, C["conv1"], stride_w=2)      # (B,H,W/4,128) p=4 32ch
-        r = m
-        for bot in C["bottlenecks"]:
-            t = _pconv(r, bot["rep"])
-            t = _pconv(t, bot["conv"])
-            r = r + t                               # shortcut (32->32)
+        r = _bottlenecks(m, C)
         y2 = _pconv(z, C["conv2"], stride_w=2)
         y3 = _pconv(jnp.concatenate([r, y2], -1), C["conv3"])
         return y3.reshape(B_, H, W // 2, 2 * b)    # p=4 64ch -> p=2 view

@@ -32,7 +32,8 @@ def _strip_pallas(tree: Any) -> Any:
         return tree
     out = {}
     for k, v in tree.items():
-        if k in ("pallas", "emit_packed", "pallas_stem", "packed_rows"):
+        if k in ("pallas", "emit_packed", "pallas_stem", "packed_rows",
+                 "chain"):
             continue
         out[k] = _strip_pallas(v)
     return out
