@@ -493,12 +493,15 @@ def bench_pallas_chain():
         def seg_chain(m):
             return bottleneck_chain(m, ck)
 
-        # parity first (f32, small)
-        ms = jnp.asarray(rng.standard_normal((2, 16, 8, 128)), jnp.float32)
-        err = float(jnp.max(jnp.abs(seg_xla(ms)
-                                    - bottleneck_chain(ms, ck))))
-        print(f"n={n} chain-vs-xla max abs err (f32): {err:.2e}")
-        assert err < 1e-4
+        # parity first at the production dtype (bf16; strict f32 parity is
+        # pinned by the interpret-mode test — on-chip f32 dots run at
+        # default bf16-operand precision, so f32 here only measures that)
+        ms = jnp.asarray(rng.standard_normal((2, 16, 8, 128)), DT)
+        err = float(jnp.max(jnp.abs(seg_xla(ms).astype(jnp.float32)
+                                    - bottleneck_chain(ms, ck)
+                                    .astype(jnp.float32))))
+        print(f"n={n} chain-vs-xla max abs err (bf16): {err:.2e}")
+        assert err < 2e-2
 
         m = jnp.asarray(rng.standard_normal((B, S, S // 4, 128)), DT)
         tx = device_timer(seg_xla, m, iters=200)

@@ -295,7 +295,42 @@ def stage_probe():
     print(f"add-const over output  : {t*1e3:.3f} ms", flush=True)
 
 
+def stage_xt():
+    """Cost of the one-off phase-plane transpose (to_phase_planes) that
+    feeds the stem kernel - the last self-documented piece of the stem
+    pair's gap to its ~2.3 ms floor (docs/performance.md headroom table).
+    Measured alone and as transpose+kernel vs the kernel on a pre-built
+    xt (the difference is what fusing the transpose away could save)."""
+    from yolo_re_tpu.ops.pallas.stem_kernel import (
+        _stem_pallas,
+        stem_conv_packed,
+        to_phase_planes,
+    )
+
+    _, fp, fs, wk = make_weights()
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 640, 640, 3)), jnp.bfloat16)
+
+    t = device_timer(lambda a: to_phase_planes(a * 1.000001), x, iters=200)
+    print(f"to_phase_planes alone        : {t*1e3:.3f} ms", flush=True)
+
+    t = device_timer(lambda a: stem_conv_packed(a * 1.000001, wk), x,
+                     iters=200)
+    print(f"transpose + stem kernel      : {t*1e3:.3f} ms", flush=True)
+
+    xt = to_phase_planes(x)
+
+    def kern_only(a):
+        return _stem_pallas(a * 1.000001, wk["w2"], wk["b2"], ho=320,
+                            wo=320, act=True, dtype=jnp.bfloat16)
+
+    t = device_timer(kern_only, xt, iters=200)
+    print(f"stem kernel on pre-built xt  : {t*1e3:.3f} ms", flush=True)
+
+
+
 if __name__ == "__main__":
     {"kernel": stage_kernel, "bench": stage_bench,
      "probe": stage_probe, "stem2": stage_stem2, "model": stage_model,
-     "slab": stage_slab, "slab2": stage_slab2}[STAGE]()
+     "slab": stage_slab, "slab2": stage_slab2,
+     "xt": stage_xt}[STAGE]()

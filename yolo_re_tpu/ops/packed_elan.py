@@ -226,7 +226,11 @@ def _bottlenecks(m: jax.Array, C: Params) -> jax.Array:
             shard_batchwise,
         )
         n = C["chain"]["wm"].shape[0]
-        if pallas_supported() and supports_chain(m.shape[1], m.shape[2], n):
+        # bf16-gated: the kernel's MXU dots run at default (bf16-operand)
+        # precision; the f32 path is the strict-parity path and must keep
+        # the packed _pconv's HIGHEST-precision numerics (ops/conv.py).
+        if (m.dtype == jnp.bfloat16 and pallas_supported()
+                and supports_chain(m.shape[1], m.shape[2], n)):
             return shard_batchwise(
                 partial(bottleneck_chain, interpret=pallas_interpret()),
                 m, C["chain"])

@@ -112,7 +112,7 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
         @pl.when((~first) & (~last))
         def _():
             run(x_hbm.at[bb, pl.ds(2 * to * jj - 1, rows)],
-                scratch.at[slot])
+                scratch.at[slot, pl.ds(0, rows)])
 
     @pl.when(step == 0)
     def _():
@@ -126,24 +126,30 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
         dma_op(s2 % 2, b2, j2, "start")
 
     dma_op(step % 2, b, j, "wait")
-    X = scratch[step % 2]                        # (rows, Wp, 2C)
+    X = scratch[step % 2]                        # (rows+1, Wp, 2C)
 
+    # The scratch carries ONE EXTRA (never-DMA'd, garbage) row so every
+    # (pairs, 2) reshape below is a pure major-dim reshape instead of a
+    # zero-row concat copy (4 full-tensor copies saved per step). The
+    # garbage propagates only into pair slot (to, 1) = avg row 2to+1,
+    # which no kh tap selects, and into row-masked rows.
     q0, q1 = X[..., :c], X[..., c:]
-    q0h = q0[:-1] + q0[1:]                       # (rows-1, Wp, C) 2x2 sums
+    q0h = q0[:-1] + q0[1:]                       # (rows, Wp, C) 2x2 sums
     q1h = q1[:-1] + q1[1:]
     s_even = q0h + q1h                           # window sum at even pixels
-    # odd pixels: q1 of col c + q0 of col c+1; last col (pixel W-1) is
-    # outside the valid avg domain -> 0 / -inf by construction
-    s_odd_body = q1h[:, :-1] + q0h[:, 1:]        # (rows-1, Wp-1, C)
+    # odd pixels: q1 of col c + q0 of col c+1 (lane-rolled; the wrapped
+    # last column is invalid and masked by odd_ok below)
+    s_odd = q1h + jnp.roll(q0h, -1, axis=1)      # (rows, Wp, C)
 
     # global avg row of local row i: g = 2*to*j - 1 + i (input zero-padded
     # one row top/bottom); valid iff 0 <= g <= h-2
-    g = (jax.lax.broadcasted_iota(jnp.int32, (rows - 1, 1, 1), 0)
+    g = (jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0)
          + 2 * to * j - 1)
     row_ok = (g >= 0) & (g <= h - 2)
     # odd pixel 2c+1 is valid iff 2c+1 <= W-2, i.e. c < wp_true - 1 (with
-    # width padded to a sublane multiple, cols >= wp_true-1 are invalid)
-    odd_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, wp - 1, 1), 1)
+    # width padded to a sublane multiple, cols >= wp_true-1 are invalid;
+    # this also kills the jnp.roll wrap above)
+    odd_ok = (jax.lax.broadcasted_iota(jnp.int32, (1, wp, 1), 1)
               < wp_true - 1)
 
     f32 = jnp.float32
@@ -151,19 +157,16 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
     # ---- branch 1: stride-2 3x3 conv over avg (zero padding) ----
     # Output col o reads avg pixels 2o-1 (odd col o-1), 2o (even col o),
     # 2o+1 (odd col o). Each source is materialized as its own aligned
-    # (rows-1, Wp, 128) array and contracted separately — lane-concats of
+    # (rows, Wp, 128) array and contracted separately — lane-concats of
     # differently-offset slices hit a Mosaic "offset mismatch" limit at
     # widths not divisible by 16, and the split matmuls cost the same
     # MXU work anyway.
-    zcol = jnp.zeros_like(s_even[:, :1, :half])
     ze = jnp.where(row_ok, s_even[..., :half], 0)
-    zo = jnp.where(row_ok & odd_ok, s_odd_body[..., :half], 0)
-    z_prev = jnp.concatenate([zcol, zo], axis=1)        # odd col o-1
-    z_cur = jnp.concatenate([zo, zcol], axis=1)         # odd col o
+    z_cur = jnp.where(row_ok & odd_ok, s_odd[..., :half], 0)
+    z_prev = jnp.roll(z_cur, 1, axis=1)          # col 0 <- z_cur[-1] == 0
 
     def pairs(a):
         # avg row 2i+kh for output row i via a (pairs, 2) major reshape
-        a = jnp.concatenate([a, jnp.zeros_like(a[:1])], axis=0)
         return a.reshape(to + 1, 2, wp, half)
 
     pe, pp, pc = pairs(ze), pairs(z_prev), pairs(z_cur)
@@ -184,14 +187,11 @@ def _kernel(x_hbm, wk_ref, b1_ref, w2_ref, b2_ref, out_ref, scratch, sem,
 
     # ---- branch 2: maxpool(3,2,1) over avg (-inf padding) + 1x1 conv ----
     neg = jnp.asarray(-jnp.inf, s_even.dtype)
-    negcol = jnp.full_like(s_even[:, :1, half:], neg)
     be = s_even[..., half:]
-    bo_body = jnp.where(row_ok & odd_ok, s_odd_body[..., half:], neg)
-    bo = jnp.concatenate([bo_body, negcol], axis=1)
-    bo_prev = jnp.concatenate([negcol, bo[:, :-1]], axis=1)
-    m_w = jnp.maximum(jnp.maximum(bo_prev, be), bo)   # (rows-1, Wp, 128)
+    bo = jnp.where(row_ok & odd_ok, s_odd[..., half:], neg)
+    bo_prev = jnp.roll(bo, 1, axis=1)            # col 0 <- bo[-1] == -inf
+    m_w = jnp.maximum(jnp.maximum(bo_prev, be), bo)   # (rows, Wp, 128)
     m_w = jnp.where(row_ok, m_w, neg)
-    m_w = jnp.concatenate([m_w, jnp.full_like(m_w[:1], neg)], axis=0)
     mpair = m_w.reshape(to + 1, 2, wp, half)
     m = jnp.maximum(jnp.maximum(mpair[0:to, 0], mpair[0:to, 1]),
                     mpair[1:to + 1, 0])               # (to, Wp, 128)
@@ -245,7 +245,9 @@ def adown_from_packed(xp: jax.Array, weights, *, interpret: bool = False,
                                lambda b, j: (b, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * to + 2, wp, 2 * c), dtype),
+            # one extra never-DMA'd row: (pairs, 2) reshapes need an even
+            # row count; the garbage row lands in unselected pair slots
+            pltpu.VMEM((2, 2 * to + 3, wp, 2 * c), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
