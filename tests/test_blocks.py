@@ -639,14 +639,17 @@ def test_csp_chain_kernel_matches_packed_loop():
 
 
 def test_packed_elan_engages_chain(monkeypatch):
-    """apply_packed_elan must route the bottlenecks through the Pallas
-    chain when the geometry qualifies (and still match the plain fused
-    graph); YOLO_TPU_CSP_CHAIN=0 kills it."""
+    """The Pallas CSP chain is OPT-IN (measured e2e -0.84% at the full
+    step despite the isolated win — fusion-boundary erosion, see
+    docs/performance.md "What lost"): by default apply_packed_elan must
+    NOT engage it; YOLO_TPU_CSP_CHAIN=1 routes the bottlenecks through
+    it and must still match the plain fused graph."""
     from unittest import mock
 
     from yolo_re_tpu.models.fuse import _fuse
 
     monkeypatch.setenv("YOLO_TPU_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("YOLO_TPU_CSP_CHAIN", "1")
     cfg = B.RepNCSPELAN4Config(96, 256, hidden_channels=128,
                                block_channels=64, num_repeats=2)
     params, stats = B.RepNCSPELAN4.init(jax.random.key(40), cfg)
@@ -669,9 +672,9 @@ def test_packed_elan_engages_chain(monkeypatch):
         y_chain, _ = B.RepNCSPELAN4.apply(cfg, fp, fs, x, train=False)
     assert calls == [(2, 8, 8, 128), (2, 8, 8, 128)]
 
-    # kill switch: no Pallas call; only the bottleneck association
-    # differs (bf16 intermediates -> ~1e-3 abs)
-    monkeypatch.setenv("YOLO_TPU_CSP_CHAIN", "0")
+    # default (unset) = OFF: no Pallas call; only the bottleneck
+    # association differs (bf16 intermediates -> ~1e-3 abs)
+    monkeypatch.delenv("YOLO_TPU_CSP_CHAIN")
     with mock.patch.object(ck, "bottleneck_chain",
                            side_effect=AssertionError("must not engage")):
         y_off, _ = B.RepNCSPELAN4.apply(cfg, fp, fs, x, train=False)

@@ -143,8 +143,10 @@ def build_packed_elan(fused: Params) -> Params:
         out["bottlenecks"] = bots
         # Pallas fused bottleneck chain (ops/pallas/csp_chain_kernel.py):
         # the same (rep -> conv -> +residual) sequence with every
-        # intermediate in VMEM; engaged at apply time when the geometry
-        # qualifies (wq % 8, TPU), else the XLA loop above runs.
+        # intermediate in VMEM; OPT-IN via YOLO_TPU_CSP_CHAIN=1 (isolated
+        # 1.08x at n=1 but e2e -0.84% — see _chain_enabled below), else
+        # the XLA loop above runs. Weights are always built (cheap; kept
+        # so the opt-in needs no re-fuse).
         from yolo_re_tpu.ops.pallas.csp_chain_kernel import (
             build_bottleneck_chain_weights)
         out["chain"] = build_bottleneck_chain_weights(C)
@@ -204,9 +206,16 @@ def _pconv(x, p, *, stride_w=1):
 
 
 def _chain_enabled() -> bool:
+    # Opt-in (default OFF): the VMEM-fused chain wins in isolation
+    # (segment 1.08x at n=1, 1.24x at n=2) but measured e2e NEGATIVE at
+    # the full gelan-c/640/b32 step — ABBA 4x4: chain 797.4+-3.5 vs
+    # XLA loop 804.2+-2.2 img/s (-0.84%). Same erosion mechanism as the
+    # ADown train pair: the pallas_call pins fusion boundaries around
+    # the packed convs that XLA otherwise overlaps. Record in
+    # docs/performance.md "What lost".
     import os
 
-    return os.environ.get("YOLO_TPU_CSP_CHAIN", "1") == "1"
+    return os.environ.get("YOLO_TPU_CSP_CHAIN", "0") == "1"
 
 
 def _bottlenecks(m: jax.Array, C: Params) -> jax.Array:

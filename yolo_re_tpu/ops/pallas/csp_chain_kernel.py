@@ -35,6 +35,17 @@ Numerics: the same bf16-operand / f32-accumulate / bf16-cast-per-conv
 sums as the packed XLA path (ops/packed_elan.py::_pconv), re-associated;
 pinned by tests/test_blocks.py (interpret mode) and on-chip by
 scripts/microbench_stage1.py STAGE=chain.
+
+OUTCOME (2026-08-20, the measured answer to the round-3 question): the
+isolated segment wins — 0.788->0.732 ms (1.08x) at n=1, 1.603->1.294 ms
+(1.24x) at n=2 — but the full gelan-c/640/b32 step measures NEGATIVE:
+ABBA 4x4, chain 797.4+-3.5 vs XLA loop 804.2+-2.2 img/s (-0.84%).
+Fusion-boundary erosion (the pallas_call pins the layouts/fusions of
+the neighboring packed convs); at gelan-c's n=1 the 56 us/segment
+margin is smaller than the boundary tax. Shipped OPT-IN via
+YOLO_TPU_CSP_CHAIN=1 — worth re-trying on configs with num_repeats>=2
+where the 1.24x depth scaling has room. Full record:
+docs/performance.md "What lost".
 """
 
 from __future__ import annotations
