@@ -34,6 +34,23 @@ def test_shard_batchwise_plain_without_mesh():
         np.asarray(spmd.shard_batchwise(jnp.sin, x)), np.sin(np.asarray(x)))
 
 
+def test_force_shard_map_on_size1_mesh_matches_plain():
+    """YOLO_TPU_FORCE_SHARD_MAP=1 keeps the shard_map manual region even
+    on a 1-device mesh (bench.py BENCH_MESH=1 — the single-real-chip
+    mesh(1) no-regression measurement must run the SHARDED program shape,
+    not the short-circuited plain call)."""
+    x = jnp.arange(8.0).reshape(4, 2)
+    m1 = make_mesh(1, devices=jax.devices()[:1])
+    # default: size-1 mesh short-circuits to the plain call
+    np.testing.assert_allclose(
+        np.asarray(spmd.shard_batchwise(jnp.sin, x, mesh=m1)),
+        np.sin(np.asarray(x)))
+    with mock.patch.dict(os.environ, {"YOLO_TPU_FORCE_SHARD_MAP": "1"}):
+        y = spmd.shard_batchwise(jnp.sin, x, mesh=m1)
+    np.testing.assert_allclose(np.asarray(y), np.sin(np.asarray(x)),
+                               rtol=1e-6)
+
+
 def test_pallas_nms_sharded_matches_single(mesh):
     """The Pallas NMS kernel (interpret) through shard_batchwise over the
     mesh == the single-device call (eval keeps the pallas backend under a

@@ -93,10 +93,18 @@ def shard_batchwise(fn: Callable, *args: Any,
     an independently jit-CACHED function (e.g. the NMS entry points) must
     take the mesh as a static argument instead of reading the ambient
     context — a cached jaxpr traced under one mesh state would otherwise
-    be silently reused under another."""
+    be silently reused under another.
+
+    A 1-device mesh normally takes the plain-call path (same program, no
+    manual region). YOLO_TPU_FORCE_SHARD_MAP=1 keeps the shard_map even
+    at size 1 so the SHARDED program shape can be benchmarked on a single
+    real chip (bench.py BENCH_MESH=1 — the mesh(1) no-regression proof)."""
     if mesh is _USE_ACTIVE:
         mesh = _ACTIVE_MESH
-    if mesh is None or mesh.size == 1:
+    if mesh is None:
+        return fn(*args)
+    if mesh.size == 1 and os.environ.get(
+            "YOLO_TPU_FORCE_SHARD_MAP") != "1":
         return fn(*args)
     in_specs = tuple(P(DATA_AXIS) if i in batch_argnums else P()
                      for i in range(len(args)))
