@@ -80,14 +80,29 @@ NMS_BACKEND = os.environ.get("BENCH_NMS_BACKEND", "auto")
 # must match the unsharded number.
 MESH = os.environ.get("BENCH_MESH", "0") == "1"
 if MESH:
-    os.environ.setdefault("YOLO_TPU_FORCE_SHARD_MAP", "1")
+    # Unconditional (not setdefault): the metric is labeled
+    # "[mesh shard_mapped]", so a pre-set '0' in the environment must not
+    # silently measure the plain program under that label. Must happen
+    # before yolo_re_tpu.parallel.spmd is imported (the flag is resolved
+    # once at import — see spmd._FORCE_SHARD_MAP); all spmd imports below
+    # are lazy, inside the bench functions.
+    os.environ["YOLO_TPU_FORCE_SHARD_MAP"] = "1"
 _R = os.environ.get("BENCH_REMAT", "0")   # train: 1=full, early=selective
 REMAT = "early" if _R == "early" else (_R == "1")
 
 
 def bench_train() -> None:
     """Training throughput: full train step (fwd, TAL loss, bwd, grouped
-    SGD, EMA, BN stats) in bf16 on synthetic device-resident batches."""
+    SGD, EMA, BN stats) in bf16 on synthetic device-resident batches.
+
+    BENCH_MESH=1 runs the SHARDED train-step program — a 1-D data mesh
+    over all local devices, batch NamedSharding'd, params replicated, and
+    every Pallas train fast path shard_mapped at its call site (the train
+    stem's custom VJP carries an explicit lax.psum on the weight-grad
+    cotangents, parallel/spmd.py). On one real chip this is the train-mode
+    half of the mesh(1) no-regression proof: the sharded train program is
+    a DIFFERENT program from the unsharded one and must match its
+    throughput (round-4 VERDICT next #1)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,6 +122,11 @@ def bench_train() -> None:
     labels = param_labels(params)
     bufs, ema = init_sgd_state(params), init_ema(params, stats)
 
+    mesh = None
+    if MESH:
+        from yolo_re_tpu.parallel.mesh import DATA_AXIS
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), (DATA_AXIS,))
+
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.random((BATCH, SIZE, SIZE, 3), np.float32),
                          jnp.bfloat16)
@@ -114,18 +134,39 @@ def bench_train() -> None:
     targets[:, :2] = [1, 0.5, 0.5, 0.3, 0.3]
     targets = jnp.asarray(targets)
 
-    def step(params, stats, bufs, ema, x, targets):
-        def obj(p):
-            preds, ns = model.apply(p, stats, x, train=True, remat=REMAT)
-            total, _ = loss_fn(preds, targets)
-            return total, ns
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        (total, ns), grads = jax.value_and_grad(obj, has_aux=True)(params)
-        grads, _ = clip_by_global_norm(grads, 10.0)
-        params, bufs = sgd_step(params, grads, bufs, labels, lr=1e-4,
-                                bias_lr=1e-4, momentum=0.937,
-                                weight_decay=5e-4)
-        ema = ema_update(ema, params, ns)
+        from yolo_re_tpu.parallel.mesh import DATA_AXIS
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        rep = NamedSharding(mesh, P())
+        images = jax.device_put(images, sh)
+        targets = jax.device_put(targets, sh)
+        params, stats, bufs, ema = (jax.device_put(t, rep)
+                                    for t in (params, stats, bufs, ema))
+
+    def step(params, stats, bufs, ema, x, targets):
+        if mesh is not None:
+            from yolo_re_tpu.parallel.spmd import use_mesh
+            ctx = use_mesh(mesh)
+        else:
+            import contextlib
+            ctx = contextlib.nullcontext()
+
+        with ctx:
+            def obj(p):
+                preds, ns = model.apply(p, stats, x, train=True,
+                                        remat=REMAT)
+                total, _ = loss_fn(preds, targets)
+                return total, ns
+
+            (total, ns), grads = jax.value_and_grad(
+                obj, has_aux=True)(params)
+            grads, _ = clip_by_global_norm(grads, 10.0)
+            params, bufs = sgd_step(params, grads, bufs, labels, lr=1e-4,
+                                    bias_lr=1e-4, momentum=0.937,
+                                    weight_decay=5e-4)
+            ema = ema_update(ema, params, ns)
         return params, ns, bufs, ema, total
 
     @jax.jit
@@ -152,9 +193,10 @@ def bench_train() -> None:
     rate = BATCH * ITERS / dt
     tflops, mfu = _mfu(step, (params, stats, bufs, ema, images, targets),
                        rate, BATCH)
+    mesh_tag = f" [mesh({mesh.size}) shard_mapped]" if mesh else ""
     print(json.dumps({
         "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} train step"
-                  f"{f' remat={_R}' if REMAT else ''} "
+                  f"{f' remat={_R}' if REMAT else ''}{mesh_tag} "
                   f"({jax.devices()[0].platform})",
         "value": round(rate, 2),
         "unit": "images/sec",

@@ -38,15 +38,29 @@ def test_force_shard_map_on_size1_mesh_matches_plain():
     """YOLO_TPU_FORCE_SHARD_MAP=1 keeps the shard_map manual region even
     on a 1-device mesh (bench.py BENCH_MESH=1 — the single-real-chip
     mesh(1) no-regression measurement must run the SHARDED program shape,
-    not the short-circuited plain call)."""
+    not the short-circuited plain call). The flag is resolved once at
+    import (stale-jaxpr hazard through jit-cached entry points), so the
+    test patches the module constant, not the environment."""
     x = jnp.arange(8.0).reshape(4, 2)
     m1 = make_mesh(1, devices=jax.devices()[:1])
-    # default: size-1 mesh short-circuits to the plain call
-    np.testing.assert_allclose(
-        np.asarray(spmd.shard_batchwise(jnp.sin, x, mesh=m1)),
-        np.sin(np.asarray(x)))
-    with mock.patch.dict(os.environ, {"YOLO_TPU_FORCE_SHARD_MAP": "1"}):
-        y = spmd.shard_batchwise(jnp.sin, x, mesh=m1)
+
+    def run(v):
+        return spmd.shard_batchwise(jnp.sin, v, mesh=m1)
+
+    # NOTE: each make_jaxpr below gets a FRESH lambda — make_jaxpr caches
+    # the traced jaxpr on function identity, so re-tracing `run` after the
+    # flag flip would silently return the pre-flip program.
+    # default: size-1 mesh short-circuits to the plain call — no manual
+    # region in the traced program
+    np.testing.assert_allclose(np.asarray(run(x)), np.sin(np.asarray(x)))
+    assert "shard_map" not in str(
+        jax.make_jaxpr(lambda v: run(v))(x))
+    with mock.patch.object(spmd, "_FORCE_SHARD_MAP", True):
+        y = run(x)
+        # the property BENCH_MESH relies on: the program genuinely
+        # contains the shard_map manual region, not a short circuit that
+        # happens to agree numerically
+        assert "shard_map" in str(jax.make_jaxpr(lambda v: run(v))(x))
     np.testing.assert_allclose(np.asarray(y), np.sin(np.asarray(x)),
                                rtol=1e-6)
 

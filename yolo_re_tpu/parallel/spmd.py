@@ -40,6 +40,14 @@ from yolo_re_tpu.parallel.mesh import DATA_AXIS
 
 _ACTIVE_MESH: Mesh | None = None
 
+# Resolved ONCE at import. shard_batchwise runs at TRACE time inside
+# jit-cached programs (the NMS entry points take `mesh` as a static arg),
+# so a mid-process env flip would be silently ignored by already-cached
+# traces — the same stale-jaxpr hazard as ambient-mesh reads. Set the env
+# var before importing yolo_re_tpu (bench.py does); tests patch
+# `spmd._FORCE_SHARD_MAP` directly.
+_FORCE_SHARD_MAP = os.environ.get("YOLO_TPU_FORCE_SHARD_MAP") == "1"
+
 
 @contextmanager
 def use_mesh(mesh: Mesh | None):
@@ -96,15 +104,15 @@ def shard_batchwise(fn: Callable, *args: Any,
     be silently reused under another.
 
     A 1-device mesh normally takes the plain-call path (same program, no
-    manual region). YOLO_TPU_FORCE_SHARD_MAP=1 keeps the shard_map even
-    at size 1 so the SHARDED program shape can be benchmarked on a single
-    real chip (bench.py BENCH_MESH=1 — the mesh(1) no-regression proof)."""
+    manual region). YOLO_TPU_FORCE_SHARD_MAP=1 (read once at import —
+    `_FORCE_SHARD_MAP`) keeps the shard_map even at size 1 so the SHARDED
+    program shape can be benchmarked on a single real chip (bench.py
+    BENCH_MESH=1 — the mesh(1) no-regression proof)."""
     if mesh is _USE_ACTIVE:
         mesh = _ACTIVE_MESH
     if mesh is None:
         return fn(*args)
-    if mesh.size == 1 and os.environ.get(
-            "YOLO_TPU_FORCE_SHARD_MAP") != "1":
+    if mesh.size == 1 and not _FORCE_SHARD_MAP:
         return fn(*args)
     in_specs = tuple(P(DATA_AXIS) if i in batch_argnums else P()
                      for i in range(len(args)))
