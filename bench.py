@@ -62,7 +62,7 @@ BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 SIZE = int(os.environ.get("BENCH_SIZE", "640"))
 ITERS = int(os.environ.get("BENCH_ITERS", "20"))
 MODEL = os.environ.get("BENCH_MODEL", "gelan-c")
-# fused_loop | dispatch | train | serving | latency | eval
+# fused_loop | dispatch | train | serving | serving_exported | latency | eval
 MODE = os.environ.get("BENCH_MODE", "fused_loop")
 # eval mode = the mAP-eval stack: ALL-anchor NMS at the reference's
 # validation thresholds (conf 0.001 / iou 0.6 — eval/evaluator.py), vs the
@@ -72,6 +72,16 @@ CONF = float(os.environ.get("BENCH_CONF",
                             "0.001" if MODE == "eval" else "0.25"))
 IOU = float(os.environ.get("BENCH_IOU", "0.6" if MODE == "eval" else "0.45"))
 NMS_BACKEND = os.environ.get("BENCH_NMS_BACKEND", "auto")
+# Eval-mode NMS candidate-set controls (ops/nms.py):
+#   BENCH_NMS_ADAPTIVE=0 forces the pre-round-5 single-K all-anchor
+#     program (every scene pays the worst case — the 636.6 img/s number);
+#     default (unset) keeps the K-bucket lax.switch dispatch.
+#   BENCH_NMS_PRETOPK=K forces a fixed candidate count (adaptive off) —
+#     measures one bucket branch's program directly.
+_A = os.environ.get("BENCH_NMS_ADAPTIVE")
+NMS_ADAPTIVE = None if _A in (None, "") else _A == "1"
+_P = os.environ.get("BENCH_NMS_PRETOPK")
+NMS_PRETOPK = int(_P) if _P else None
 # BENCH_MESH=1: run the fused-loop program as the MESH program — a 1-D
 # data mesh over all local devices with the batch NamedSharding'd and
 # every Pallas fast path shard_mapped (YOLO_TPU_FORCE_SHARD_MAP keeps the
@@ -206,11 +216,19 @@ def bench_train() -> None:
     }))
 
 
-def bench_serving() -> None:
+def bench_serving(exported: bool = False) -> None:
     """Production serving path: raw uint8 frames -> device letterbox ->
     fused bf16 forward -> NMS (the whole `serving.Detector` program), timed
     as a fused on-device loop. Includes everything a deployment pays per
-    batch except the host->device copy of the 4x-smaller uint8 frames."""
+    batch except the host->device copy of the 4x-smaller uint8 frames.
+
+    exported (BENCH_MODE=serving_exported): round-trip the pipeline
+    through `Detector.export` -> `Detector.load_exported` (single-platform
+    StableHLO artifact, Mosaic kernels retained) and time the LOADED
+    callable — proves the deployable artifact performs like the
+    in-process program (round-4 VERDICT next #5)."""
+    import tempfile
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -227,11 +245,21 @@ def bench_serving() -> None:
         rng.integers(0, 255, (BATCH, SIZE, SIZE, 3)), jnp.uint8)
     params, stats = det.params, det.stats
 
+    if exported:
+        path = os.path.join(tempfile.mkdtemp(), "bench.stablehlo")
+        det.export(path, batch=BATCH)
+        run = Detector.load_exported(path)
+
+        def pipeline(params, stats, f):
+            return run(f)   # weights baked into the artifact
+    else:
+        pipeline = det._pipeline
+
     @jax.jit
     def loop(params, stats, frames):
         def body(i, carry):
             acc, f = carry
-            out = det._pipeline(params, stats, f)
+            out = pipeline(params, stats, f)
             s = out["scores"].sum()
             # data feedback so LICM cannot hoist the pipeline out
             f = (f + (s > jnp.float32(1e30)).astype(jnp.uint8))
@@ -244,9 +272,10 @@ def bench_serving() -> None:
     float(loop(params, stats, frames))
     dt = time.perf_counter() - t0
     rate = BATCH * ITERS / dt
-    tflops, mfu = _mfu(det._pipeline, (params, stats, frames), rate, BATCH)
+    tflops, mfu = _mfu(pipeline, (params, stats, frames), rate, BATCH)
+    kind = "serving-exported artifact" if exported else "serving"
     print(json.dumps({
-        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} serving "
+        "metric": f"{MODEL} {SIZE}x{SIZE} batch{BATCH} {kind} "
                   f"uint8->detections ({jax.devices()[0].platform})",
         "value": round(rate, 2),
         "unit": "images/sec",
@@ -262,6 +291,9 @@ def main() -> None:
         return
     if MODE == "serving":
         bench_serving()
+        return
+    if MODE == "serving_exported":
+        bench_serving(exported=True)
         return
 
     import jax
@@ -296,7 +328,8 @@ def main() -> None:
                 decoded = decoded["main"]
             out = non_max_suppression(decoded, conf_thres=CONF,
                                       iou_thres=IOU, backend=NMS_BACKEND,
-                                      mesh=mesh)
+                                      pre_topk=NMS_PRETOPK,
+                                      adaptive=NMS_ADAPTIVE, mesh=mesh)
         return out
 
     rng = np.random.default_rng(0)
@@ -369,8 +402,16 @@ def main() -> None:
             "mfu": mfu,
         }))
         return
-    kind = ("eval-stack (all-anchor NMS conf 1e-3)" if MODE == "eval"
-            else "inference")
+    if MODE == "eval":
+        if NMS_PRETOPK:
+            nms_kind = f"NMS pre_topk={NMS_PRETOPK}"
+        elif NMS_ADAPTIVE is False:
+            nms_kind = "all-anchor NMS"
+        else:
+            nms_kind = "adaptive K-bucket NMS"
+        kind = f"eval-stack ({nms_kind} conf 1e-3)"
+    else:
+        kind = "inference"
     if MESH:
         kind += f" [mesh({mesh.size}) shard_mapped]"
     print(json.dumps({

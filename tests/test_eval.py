@@ -1,7 +1,9 @@
 """mAP metric tests (reference model: eval parts of its test suite +
 known-value checks)."""
 
+import jax
 import numpy as np
+import pytest
 
 from yolo_re_tpu.eval.metrics import box_iou_np, compute_ap, compute_map
 
@@ -185,3 +187,77 @@ def test_serving_export_roundtrip(tiny_model, tmp_path):
     for k in ("boxes", "scores", "classes", "valid"):
         np.testing.assert_allclose(np.asarray(live[k]),
                                    np.asarray(loaded[k]), rtol=1e-5, atol=1e-5)
+
+
+def test_export_multiplatform_strips_pallas_single_keeps(tiny_model, tmp_path):
+    """`Detector.export` promises (serving.py): multi-platform artifacts
+    carry no Pallas kernel (a Mosaic custom call only lowers on TPU),
+    while single-platform export keeps the fast path of the tracing
+    backend. On CPU (interpret-mode gates) that is observable as: the
+    single-platform trace ENGAGES the stem kernel, the multi-platform
+    trace does not, and neither CPU artifact contains a TPU custom call.
+    The TPU-side containment (tpu_custom_call present in the single-
+    platform TPU artifact) is pinned by
+    test_export_tpu_keeps_mosaic_custom_call below (TPU-only)."""
+    import os
+    from unittest import mock
+
+    import jax
+
+    from yolo_re_tpu.ops.pallas import stem_kernel
+    from yolo_re_tpu.serving import Detector
+
+    model, params, stats = tiny_model
+    calls = []
+    orig = stem_kernel.stem_conv_packed
+    with mock.patch.dict(os.environ, {"YOLO_TPU_PALLAS_INTERPRET": "1"}), \
+         mock.patch.object(stem_kernel, "stem_conv_packed",
+                           side_effect=lambda *a, **k: calls.append(1)
+                           or orig(*a, **k)):
+        det = Detector(model, params, stats, img_size=64, conf_thres=0.25)
+        single = str(tmp_path / "single.stablehlo")
+        det.export(single, batch=1, height=48, width=48)
+        assert calls, "single-platform export must trace the stem kernel"
+        calls.clear()
+        multi = str(tmp_path / "multi.stablehlo")
+        det.export(multi, batch=1, height=48, width=48,
+                   platforms=("cpu", "tpu"))
+        assert not calls, \
+            "multi-platform export must strip the Pallas fast paths"
+
+    from jax import export as jexport
+
+    for p in (single, multi):
+        with open(p, "rb") as f:
+            mlir = jexport.deserialize(f.read()).mlir_module()
+        assert "tpu_custom_call" not in mlir, p
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Mosaic custom calls only lower on TPU")
+def test_export_tpu_keeps_mosaic_custom_call(tiny_model, tmp_path):
+    """Single-platform TPU export must RETAIN the Mosaic kernels in the
+    serialized artifact (serving.py:160-186's promise; round-4 VERDICT
+    next #5) — the deployable is the optimized program, not a stripped
+    one — while the portable multi-platform artifact must contain none."""
+    from jax import export as jexport
+
+    from yolo_re_tpu.serving import Detector
+
+    model, params, stats = tiny_model
+    det = Detector(model, params, stats, img_size=64, conf_thres=0.25)
+
+    single = str(tmp_path / "tpu.stablehlo")
+    det.export(single, batch=1, height=48, width=48)
+    with open(single, "rb") as f:
+        mlir = jexport.deserialize(f.read()).mlir_module()
+    assert "tpu_custom_call" in mlir, \
+        "single-platform TPU artifact lost the Mosaic kernels"
+
+    multi = str(tmp_path / "multi.stablehlo")
+    det.export(multi, batch=1, height=48, width=48,
+               platforms=("tpu", "cpu"))
+    with open(multi, "rb") as f:
+        mlir = jexport.deserialize(f.read()).mlir_module()
+    assert "tpu_custom_call" not in mlir, \
+        "multi-platform artifact must be portable (no Mosaic custom calls)"

@@ -266,3 +266,62 @@ def test_eval_thresholds_default_covers_all_anchors():
                                   iou_thres=0.6, max_det=300, pre_topk=2048)
     cap_dets = nms_to_list(cap_out)[0]
     assert (cap_dets[:, 5] == 1).sum() == 0  # the old cap dropped it
+
+
+def _dense_batch(counts, a=8400, nc=8, seed=3):
+    """One batch with per-image conf-passing candidate counts `counts`."""
+    rng = np.random.default_rng(seed)
+    b = len(counts)
+    pred = np.zeros((b, a, 4 + nc), np.float32)
+    for i, n in enumerate(counts):
+        boxes = np.stack([
+            rng.uniform(40, 600, a), rng.uniform(40, 600, a),
+            rng.uniform(10, 80, a), rng.uniform(10, 80, a)], axis=1)
+        cls = rng.integers(0, nc, a)
+        lvl = np.where(np.arange(a) < n,
+                       rng.uniform(0.002, 0.9, a), 0.0)
+        rng.shuffle(lvl)
+        pred[i, :, :4] = boxes
+        pred[i, np.arange(a), 4 + cls] = lvl
+    return jnp.asarray(pred)
+
+
+def test_adaptive_eval_dispatch_exact_per_bucket():
+    """The adaptive K-bucket dispatch (default at eval conf) must be
+    detection-for-detection identical to the forced all-anchor program in
+    every bucket regime: sparse (<=512), medium (<=2048), dense (>2048),
+    and a mixed batch whose densest image drives the bucket choice."""
+    for counts in ([40], [1300], [5000], [40, 1300], [40, 5000]):
+        pred = _dense_batch(counts)
+        ada = non_max_suppression(pred, conf_thres=0.001, iou_thres=0.6)
+        full = non_max_suppression(pred, conf_thres=0.001, iou_thres=0.6,
+                                   adaptive=False)
+        for k in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_array_equal(
+                np.asarray(ada[k]), np.asarray(full[k]),
+                err_msg=f"counts={counts} key={k}")
+
+
+def test_adaptive_dispatch_program_shape():
+    """The eval-conf default really is the bucket dispatch (a cond over
+    compiled K branches), and serving conf / adaptive=False are not."""
+    import jax
+
+    pred = _dense_batch([10])
+
+    def eval_nms(p):
+        return non_max_suppression.__wrapped__(p, conf_thres=0.001,
+                                               iou_thres=0.6)
+
+    def serve_nms(p):
+        return non_max_suppression.__wrapped__(p, conf_thres=0.25,
+                                               iou_thres=0.45)
+
+    def forced(p):
+        return non_max_suppression.__wrapped__(p, conf_thres=0.001,
+                                               iou_thres=0.6,
+                                               adaptive=False)
+
+    assert "cond" in str(jax.make_jaxpr(eval_nms)(pred))
+    assert "cond" not in str(jax.make_jaxpr(serve_nms)(pred))
+    assert "cond" not in str(jax.make_jaxpr(forced)(pred))
