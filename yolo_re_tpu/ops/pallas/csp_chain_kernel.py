@@ -43,8 +43,16 @@ ABBA 4x4, chain 797.4+-3.5 vs XLA loop 804.2+-2.2 img/s (-0.84%).
 Fusion-boundary erosion (the pallas_call pins the layouts/fusions of
 the neighboring packed convs); at gelan-c's n=1 the 56 us/segment
 margin is smaller than the boundary tax. Shipped OPT-IN via
-YOLO_TPU_CSP_CHAIN=1 — worth re-trying on configs with num_repeats>=2
-where the 1.24x depth scaling has room. Full record:
+YOLO_TPU_CSP_CHAIN=1.
+
+ROUND-5 CLOSURE of the "re-try at num_repeats>=2" note: measured e2e on
+gelan-c-d2 (depth_multiplier 2.0 -> n=2 at the same C=32/P=4 geometry,
+configs/models/gelan-c-d2.yaml) — ABBA 2x, chain 716.0+-2.3 vs XLA
+loop 717.2+-0.2 img/s (-0.16%, within noise; the 1.24x isolated depth
+scaling is fully absorbed by the same boundary tax). The kernel stays
+opt-in at every shipped depth; this experiment is CLOSED — do not
+re-try without a structurally different integration (e.g. fusing the
+chain's entry/exit convs into the kernel itself). Full record:
 docs/performance.md "What lost".
 """
 
