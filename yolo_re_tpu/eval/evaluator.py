@@ -107,10 +107,15 @@ class Evaluator:
             params = replicate_tree(params, self.mesh)
             stats = replicate_tree(stats, self.mesh)
 
-        for batch in self.loader:
+        def dispatch(batch):
+            """Enqueue one batch on the device; returns (async nms_out,
+            batch). jax dispatch is asynchronous, so the device runs this
+            batch while the host matches the PREVIOUS one — the serialized
+            dispatch->fetch->match loop paid one idle device gap (plus a
+            full tunnel round trip on this host) per batch."""
             images = np.asarray(batch["images"])
-            b, h, w = images.shape[0], images.shape[1], images.shape[2]
             if self.mesh is not None:
+                b = images.shape[0]
                 n = self.mesh.size
                 gb = -(-b // n) * n
                 if gb != b:  # pad for divisibility; sliced off below
@@ -118,38 +123,29 @@ class Evaluator:
                         [images, np.zeros((gb - b, *images.shape[1:]),
                                           images.dtype)])
                 images = jax.device_put(images, batch_sharding(self.mesh))
-            nms_out = self._step(params, stats, images)
-            dets = nms_to_list(nms_out)[:b]
+            return self._step(params, stats, images), batch
 
-            targets = np.asarray(batch["targets"])
-            nboxes = np.asarray(batch["nboxes"])
-            for i in range(b):
-                det = dets[i]
-                pred_boxes.append(det[:, :4])
-                pred_scores.append(det[:, 4])
-                pred_classes.append(det[:, 5].astype(np.int64))
+        import os
+        from collections import deque
 
-                n = int(nboxes[i])
-                t = targets[i, :n]
-                if n:
-                    cx, cy, bw, bh = (t[:, 1] * w, t[:, 2] * h,
-                                      t[:, 3] * w, t[:, 4] * h)
-                    boxes = np.stack([cx - bw / 2, cy - bh / 2,
-                                      cx + bw / 2, cy + bh / 2], axis=1)
-                    gt_boxes.append(boxes.astype(np.float32))
-                    gt_classes.append(t[:, 0].astype(np.int64))
-                else:
-                    gt_boxes.append(np.zeros((0, 4), np.float32))
-                    gt_classes.append(np.zeros((0,), np.int64))
-            if (debug is not None
-                    and (nboxes > 0).any()  # only batches with GT are usable
-                    and sum(int((d[3] > 0).sum()) for d in debug) < 10):
-                host = np.asarray(batch["images"][:b], np.float32)
-                if np.asarray(batch["images"]).dtype == np.uint8:
-                    host = host / 255.0
-                if not debug or debug[0][0].shape[1:] == host.shape[1:]:
-                    debug.append((host, dets, targets, nboxes))
-            n_images += b
+        # Pipeline depth: how many dispatched batches stay in flight while
+        # the host matches older ones. YOLO_TPU_EVAL_PREFETCH=0 restores
+        # the fully serialized dispatch->fetch->match loop (A/B knob).
+        depth = int(os.environ.get("YOLO_TPU_EVAL_PREFETCH", "2"))
+
+        def collect(item) -> int:
+            nms_out, batch = item
+            self._collect(nms_out, batch, pred_boxes, pred_scores,
+                          pred_classes, gt_boxes, gt_classes, debug)
+            return np.asarray(batch["images"]).shape[0]
+
+        pending: deque = deque()
+        for batch in self.loader:
+            pending.append(dispatch(batch))
+            while len(pending) > depth:
+                n_images += collect(pending.popleft())
+        while pending:
+            n_images += collect(pending.popleft())
 
         if debug:
             # First ~10 GT-bearing images, GT red / top-20 preds green, in a
@@ -171,3 +167,40 @@ class Evaluator:
                  n_images, dt, results["map50"], results["map75"],
                  results["map"])
         return results
+
+    def _collect(self, nms_out, batch, pred_boxes, pred_scores,
+                 pred_classes, gt_boxes, gt_classes, debug) -> None:
+        """Fetch one dispatched batch's padded NMS output and fold it into
+        the host-side accumulators (the only device->host sync point)."""
+        images = np.asarray(batch["images"])
+        b, h, w = images.shape[0], images.shape[1], images.shape[2]
+        dets = nms_to_list(nms_out)[:b]
+
+        targets = np.asarray(batch["targets"])
+        nboxes = np.asarray(batch["nboxes"])
+        for i in range(b):
+            det = dets[i]
+            pred_boxes.append(det[:, :4])
+            pred_scores.append(det[:, 4])
+            pred_classes.append(det[:, 5].astype(np.int64))
+
+            n = int(nboxes[i])
+            t = targets[i, :n]
+            if n:
+                cx, cy, bw, bh = (t[:, 1] * w, t[:, 2] * h,
+                                  t[:, 3] * w, t[:, 4] * h)
+                boxes = np.stack([cx - bw / 2, cy - bh / 2,
+                                  cx + bw / 2, cy + bh / 2], axis=1)
+                gt_boxes.append(boxes.astype(np.float32))
+                gt_classes.append(t[:, 0].astype(np.int64))
+            else:
+                gt_boxes.append(np.zeros((0, 4), np.float32))
+                gt_classes.append(np.zeros((0,), np.int64))
+        if (debug is not None
+                and (nboxes > 0).any()  # only batches with GT are usable
+                and sum(int((d[3] > 0).sum()) for d in debug) < 10):
+            host = images[:b].astype(np.float32)
+            if images.dtype == np.uint8:
+                host = host / 255.0
+            if not debug or debug[0][0].shape[1:] == host.shape[1:]:
+                debug.append((host, dets, targets, nboxes))
