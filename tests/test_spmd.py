@@ -306,3 +306,40 @@ def test_sharded_serving_contains_and_matches(mesh):
     for k in ("boxes", "scores", "classes", "valid"):
         np.testing.assert_allclose(np.asarray(out8[k]), np.asarray(out1[k]),
                                    atol=2e-3, err_msg=k)
+
+
+def test_adaptive_nms_dispatch_sharded_matches_single(mesh):
+    """The adaptive K-bucket dispatch (cond over bucket programs) with the
+    shard_mapped suppression inside each branch: sharded == single on both
+    a sparse batch (512-bucket branch) and a dense one (all-anchor
+    fallback). Guards the lax.switch + shard_map composition the
+    Evaluator's mesh path relies on."""
+    from yolo_re_tpu.ops.nms import non_max_suppression
+
+    rng = np.random.default_rng(2)
+    b, a, nc = 16, 1024, 4
+
+    def make(n_pass):
+        pred = np.zeros((b, a, 4 + nc), np.float32)
+        pred[..., 0] = rng.uniform(20, 200, (b, a))
+        pred[..., 1] = rng.uniform(20, 200, (b, a))
+        pred[..., 2] = rng.uniform(5, 30, (b, a))
+        pred[..., 3] = rng.uniform(5, 30, (b, a))
+        cls = rng.integers(0, nc, (b, a))
+        lvl = np.where(np.arange(a) < n_pass,
+                       rng.uniform(0.01, 0.9, (b, a)), 0.0)
+        for i in range(b):
+            pred[i, np.arange(a), 4 + cls[i]] = lvl[i]
+        return pred
+
+    for n_pass in (40, 900):   # 512 bucket / all-anchor fallback
+        pred = make(n_pass)
+        single = non_max_suppression(jnp.asarray(pred), conf_thres=0.001,
+                                     iou_thres=0.6)
+        sharded = non_max_suppression(
+            jax.device_put(pred, batch_sharding(mesh)), conf_thres=0.001,
+            iou_thres=0.6, mesh=mesh)
+        for k in ("boxes", "scores", "classes", "valid"):
+            np.testing.assert_allclose(
+                np.asarray(sharded[k]), np.asarray(single[k]), atol=1e-5,
+                err_msg=f"n_pass={n_pass} key={k}")
