@@ -325,3 +325,30 @@ def test_adaptive_dispatch_program_shape():
     assert "cond" in str(jax.make_jaxpr(eval_nms)(pred))
     assert "cond" not in str(jax.make_jaxpr(serve_nms)(pred))
     assert "cond" not in str(jax.make_jaxpr(forced)(pred))
+
+
+def test_adaptive_respects_classes_filter():
+    """The adaptive candidate count is computed on the FILTERED confidences
+    (class filter applied first), and the dispatched program's output is
+    identical to the forced all-anchor program under the same filter —
+    including when unwanted-class anchors vastly outnumber wanted ones."""
+    rng = np.random.default_rng(9)
+    a, nc = 8400, 8
+    boxes = np.stack([
+        rng.uniform(40, 600, a), rng.uniform(40, 600, a),
+        rng.uniform(10, 80, a), rng.uniform(10, 80, a)], axis=1)
+    scores = np.zeros((a, nc), np.float32)
+    cls = np.where(np.arange(a) < 100, 2, 5)  # 100 wanted, 8300 unwanted
+    rng.shuffle(cls)
+    scores[np.arange(a), cls] = rng.uniform(0.01, 0.9, a)
+    pred = make_pred(boxes.astype(np.float32), scores)
+
+    ada = non_max_suppression(pred, conf_thres=0.001, iou_thres=0.6,
+                              classes=(2,))
+    full = non_max_suppression(pred, conf_thres=0.001, iou_thres=0.6,
+                               classes=(2,), adaptive=False)
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(np.asarray(ada[k]),
+                                      np.asarray(full[k]), err_msg=k)
+    dets = nms_to_list(ada)[0]
+    assert len(dets) and set(dets[:, 5].astype(int)) == {2}
