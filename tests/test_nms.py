@@ -291,7 +291,7 @@ def test_adaptive_eval_dispatch_exact_per_bucket():
     detection-for-detection identical to the forced all-anchor program in
     every bucket regime: sparse (<=512), medium (<=2048), dense (>2048),
     and a mixed batch whose densest image drives the bucket choice."""
-    for counts in ([40], [1300], [5000], [40, 1300], [40, 5000]):
+    for counts in ([40], [900], [1300], [5000], [40, 900], [40, 5000]):
         pred = _dense_batch(counts)
         ada = non_max_suppression(pred, conf_thres=0.001, iou_thres=0.6)
         full = non_max_suppression(pred, conf_thres=0.001, iou_thres=0.6,

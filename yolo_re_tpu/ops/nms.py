@@ -95,9 +95,13 @@ def _default_backend(k: int) -> str:
 
 # Candidate-count buckets for the adaptive eval-mode dispatch. A scene
 # whose conf-passing count fits a bucket produces IDENTICAL detections
-# from the bucket program (top-k with k >= count contains every passing
-# candidate); only genuinely dense scenes pay the all-anchor program.
-ADAPTIVE_BUCKETS = (512, 2048)
+# from the bucket program (top-k with k >= count contains all passing
+# candidates); only genuinely dense scenes pay the all-anchor program.
+# Measured on v5e (gelan-c/640/b32 eval, forced branches): K=512
+# 805.0 img/s, K=1024 765.2, K=2048 737.3, all-anchor 635.6 — each extra
+# bucket costs only compile time (TPU conditionals execute the taken
+# branch), so the ladder is as fine as the measured spread justifies.
+ADAPTIVE_BUCKETS = (512, 1024, 2048)
 
 
 @partial(jax.jit, static_argnames=("conf_thres", "iou_thres", "max_det",
