@@ -84,7 +84,9 @@ def _default_backend(k: int) -> str:
     lax.scan greedy pass wins at small candidate counts (serving, K=512:
     721 vs 697 img/s) while the VMEM-resident pallas kernel wins at large
     ones (eval, K=2048: 675 vs 649) — scan iterations are cheap but the
-    kernel amortizes better over wide candidate tiles."""
+    kernel amortizes better over wide candidate tiles. The crossover is a
+    dead tie at exactly K=1024 (round 5, forced eval branch: xla 765.16
+    vs pallas 765.06 img/s), so the <=1024 boundary stands as measured."""
     try:
         if jax.default_backend() != "tpu":
             return "xla"
