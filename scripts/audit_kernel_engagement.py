@@ -45,6 +45,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from yolo_re_tpu.models.fuse import FASTPATH_MARKER_KEYS
     from yolo_re_tpu.models.yolo import YOLO
 
     model = YOLO.from_yaml(f"configs/models/{args.model}.yaml")
@@ -56,8 +57,7 @@ def main() -> None:
     def walk(t, path=""):
         if isinstance(t, dict):
             for k, v in t.items():
-                if k in ("pallas", "pallas_stem", "packed", "packed_rows",
-                         "chain", "emit_packed"):
+                if k in FASTPATH_MARKER_KEYS:
                     emitted.append(f"{path}/{k}")
                 if k != "chain":
                     walk(v, f"{path}/{k}")

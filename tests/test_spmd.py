@@ -332,13 +332,17 @@ def test_adaptive_nms_dispatch_sharded_matches_single(mesh):
             pred[i, np.arange(a), 4 + cls[i]] = lvl[i]
         return pred
 
+    # backend="pallas": off-TPU the "auto" choice resolves every branch to
+    # the xla scan, which contains no shard_map — forcing pallas builds the
+    # REAL composition the TPU mesh eval path runs (interpret-mode kernel
+    # inside the switch branches, shard_mapped per device).
     for n_pass in (40, 900):   # 512 bucket / all-anchor fallback
         pred = make(n_pass)
         single = non_max_suppression(jnp.asarray(pred), conf_thres=0.001,
-                                     iou_thres=0.6)
+                                     iou_thres=0.6, backend="pallas")
         sharded = non_max_suppression(
             jax.device_put(pred, batch_sharding(mesh)), conf_thres=0.001,
-            iou_thres=0.6, mesh=mesh)
+            iou_thres=0.6, backend="pallas", mesh=mesh)
         for k in ("boxes", "scores", "classes", "valid"):
             np.testing.assert_allclose(
                 np.asarray(sharded[k]), np.asarray(single[k]), atol=1e-5,

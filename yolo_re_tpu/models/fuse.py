@@ -29,6 +29,20 @@ from yolo_re_tpu.models.heads import (
 
 Params = dict[str, Any]
 
+# Fast-path weight markers this fuse pass can emit into the params tree.
+# MOSAIC_MARKER_KEYS is the Mosaic-dependent cluster — weights whose
+# consumers only lower on TPU (the Pallas stem/ADown/chain kernels) plus
+# the keys structurally tied to a kernel's output layout (packed_rows:
+# stem2 consuming the stem kernel's row-paired output; emit_packed: the
+# producer marker ADown's kernel branch keys on). serving._strip_pallas
+# drops exactly this set for portable (multi-platform) export.
+# FASTPATH_MARKER_KEYS adds "packed" — the stage1 width-packed ELAN
+# weights, which are a plain-XLA (portable) fast path and therefore NOT
+# stripped; scripts/audit_kernel_engagement.py reports the full set.
+MOSAIC_MARKER_KEYS = ("pallas", "emit_packed", "pallas_stem",
+                      "packed_rows", "chain")
+FASTPATH_MARKER_KEYS = MOSAIC_MARKER_KEYS + ("packed",)
+
 
 def _fuse(block, cfg, params, stats) -> tuple[Params, Params]:
     if block is B.Conv:

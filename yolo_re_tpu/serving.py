@@ -25,15 +25,16 @@ from yolo_re_tpu.ops.nms import non_max_suppression
 
 
 def _strip_pallas(tree: Any) -> Any:
-    """Drop the fuse-pass Pallas-ADown weights and the producer's
-    packed-emit marker (models/fuse.py post-pass) so a re-trace takes the
-    portable XLA graph instead of baking a TPU-only Mosaic custom call."""
+    """Drop the fuse pass's Mosaic-dependent weight markers
+    (models/fuse.py MOSAIC_MARKER_KEYS) so a re-trace takes the portable
+    XLA graph instead of baking a TPU-only Mosaic custom call."""
+    from yolo_re_tpu.models.fuse import MOSAIC_MARKER_KEYS
+
     if not isinstance(tree, dict):
         return tree
     out = {}
     for k, v in tree.items():
-        if k in ("pallas", "emit_packed", "pallas_stem", "packed_rows",
-                 "chain"):
+        if k in MOSAIC_MARKER_KEYS:
             continue
         out[k] = _strip_pallas(v)
     return out
